@@ -1,0 +1,214 @@
+"""KKT factor-solve strategies for the conic IPM solvers.
+
+TPU-native equivalents of the reference's five KKT strategies
+(/root/reference/src/python/misc.py:1055-1698).  Each strategy is a
+factory
+
+    factor = kkt_xxx(G, dims, A, mnl=0, ...)
+    solve  = factor(W [, H, Df])          # once per IPM iteration
+    ux, uy, Wuz = solve(bx, by, bz)       # several times per iteration
+
+solving the 3x3 system (misc.py:1069-1071)
+
+    [ H    A'   GG'   ] [ ux ]   [ bx ]
+    [ A    0    0     ] [ uy ] = [ by ]        GG = [Df; G]
+    [ GG   0   -W'W   ] [ uz ]   [ bz ]
+
+and returning (ux, uy, W*uz).  All functions are pure (no in-place
+mutation) and jit/vmap-compatible; `dims` is static.
+
+Strategies:
+  kkt_lu    dense factorization of the full 3x3 with packed 's' rows —
+            the universal fallback (reference kkt_ldl, misc.py:1055;
+            LAPACK sytrf is replaced by LU with partial pivoting, which
+            XLA provides batched on the MXU; supports `kktreg` static
+            regularization, misc.py:1096-1098).
+  kkt_chol  QR of A' to eliminate equalities + dense Cholesky of the
+            reduced condensed system (reference kkt_chol, misc.py:1213)
+            — the fast path, default when 'q'/'s' cones are present.
+  kkt_chol2 normal-equations Cholesky of S = H + GG'W^{-1}W^{-T}GG plus
+            a Schur complement for A (reference kkt_chol2, misc.py:1352,
+            generalized from 'l'-only to all cones via dense math).
+
+Singularity is reported through NaNs (Cholesky of a non-PD matrix
+returns NaN rows in XLA); the solver loops detect non-finite iterates
+and exit with status 'unknown' — the jit-compatible analogue of the
+reference's ArithmeticError handling (coneprog.py:1078-1109).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from cvxopt_tpu.cones import ConeDims, pack, unpack, pack_matrix_cols
+from cvxopt_tpu.scaling import scale, scale_rows
+
+DEFAULT_SOLVERS = ("ldl", "ldl2", "qr", "chol", "chol2")
+
+
+def _stack_gg(G, Df):
+    """GG = [Df; G] (misc.py:1066)."""
+    if Df is None:
+        return G
+    return jnp.concatenate([Df, G], axis=0)
+
+
+def kkt_lu(G, dims: ConeDims, A, mnl: int = 0, kktreg: Optional[float] = None):
+    """Dense factorization of the full 3x3 KKT system with packed cone
+    rows (reference kkt_ldl, misc.py:1055-1125).
+
+    Uses LU with partial pivoting (batched on TPU via XLA) instead of
+    Bunch-Kaufman LDL; with optional static regularization ``kktreg``
+    (+reg on the (1,1) block diagonal, -reg on the (2,2)/(3,3) blocks)
+    the system is quasidefinite and the factorization is stable.
+    """
+    p, n = A.shape
+    pdim = dims.cdim_packed
+    ldK = n + p + pdim
+
+    def factor(W, H=None, Df=None):
+        GG = _stack_gg(G, Df)
+        # Gs = W^{-T} GG, packed columns  (misc.py:1090-1094)
+        Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
+        Gp = pack_matrix_cols(Gs, dims)                  # (pdim, n)
+        K = jnp.zeros((ldK, ldK), dtype=G.dtype)
+        if H is not None:
+            K = K.at[:n, :n].set(H)
+        K = K.at[n:n + p, :n].set(A)
+        K = K.at[:n, n:n + p].set(A.T)
+        K = K.at[n + p:, :n].set(Gp)
+        K = K.at[:n, n + p:].set(Gp.T)
+        diag = jnp.arange(n + p, ldK)
+        K = K.at[diag, diag].set(-1.0)
+        if kktreg is not None:
+            d1 = jnp.arange(n)
+            K = K.at[d1, d1].add(kktreg)
+            d2 = jnp.arange(n, ldK)
+            K = K.at[d2, d2].add(-kktreg)
+        lu, piv = jsl.lu_factor(K)
+
+        def solve(bx, by, bz):
+            zs = scale(bz, W, dims, trans="T", inverse="I")
+            u = jnp.concatenate([bx, by, pack(zs, dims)])
+            u = jsl.lu_solve((lu, piv), u)
+            return u[:n], u[n:n + p], unpack(u[n + p:], dims)
+
+        return solve
+
+    return factor
+
+
+def kkt_chol(G, dims: ConeDims, A, mnl: int = 0):
+    """QR of A' to eliminate equality constraints, then dense Cholesky
+    of Q2'(H + GG'W^{-1}W^{-T}GG)Q2 (reference kkt_chol,
+    misc.py:1213-1350).  The coneqp/cpl default for 'q'/'s' cones
+    (coneprog.py:1805-1809)."""
+    p, n = A.shape
+    if p:
+        Q, R = jnp.linalg.qr(A.T, mode="complete")       # A' = Q [R; 0]
+        Q1, Q2 = Q[:, :p], Q[:, p:]
+        R = R[:p, :]
+    else:
+        Q1 = jnp.zeros((n, 0), dtype=G.dtype)
+        Q2 = jnp.eye(n, dtype=G.dtype)
+        R = jnp.zeros((0, 0), dtype=G.dtype)
+
+    def factor(W, H=None, Df=None):
+        GG = _stack_gg(G, Df)
+        Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
+        S = Gs.T @ Gs
+        if H is not None:
+            S = S + H
+        K = Q2.T @ S @ Q2                                # (n-p, n-p)
+        L = jnp.linalg.cholesky(K)
+
+        def solve(bx, by, bz):
+            # rhs r = bx + GG' W^{-1} W^{-T} bz
+            zs = scale(bz, W, dims, trans="T", inverse="I")
+            r = bx + Gs.T @ zs
+            if p:
+                # v1 from A ux = by:  R' v1 = by
+                v1 = jsl.solve_triangular(R.T, by, lower=True)
+                rhs2 = Q2.T @ (r - S @ (Q1 @ v1))
+            else:
+                v1 = by
+                rhs2 = Q2.T @ r
+            w = jsl.solve_triangular(L, rhs2, lower=True)
+            v2 = jsl.solve_triangular(L.T, w, lower=False)
+            ux = Q2 @ v2 + (Q1 @ v1 if p else 0.0)
+            if p:
+                uy = jsl.solve_triangular(
+                    R, Q1.T @ (r - S @ ux), lower=False)
+            else:
+                uy = by
+            # W uz = W^{-T} (GG ux - bz)
+            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            return ux, uy, Wuz
+
+        return solve
+
+    return factor
+
+
+def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0):
+    """Normal-equations Cholesky: S = H + GG'W^{-1}W^{-T}GG factored
+    directly, equalities handled by a Schur complement K = A S^{-1} A'
+    (reference kkt_chol2, misc.py:1352-1568, generalized from 'l'-only
+    to all cones using dense batched math — the sparse CHOLMOD path has
+    a block-sparse TPU analogue planned in ops/)."""
+    p, n = A.shape
+
+    def factor(W, H=None, Df=None):
+        GG = _stack_gg(G, Df)
+        Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
+        S = Gs.T @ Gs
+        if H is not None:
+            S = S + H
+        Ls = jnp.linalg.cholesky(S)
+
+        def Sinv(v):
+            w = jsl.solve_triangular(Ls, v, lower=True)
+            return jsl.solve_triangular(Ls.T, w, lower=False)
+
+        if p:
+            SiAT = Sinv(A.T)                             # (n, p)
+            K = A @ SiAT
+            Lk = jnp.linalg.cholesky(K)
+
+        def solve(bx, by, bz):
+            zs = scale(bz, W, dims, trans="T", inverse="I")
+            r = bx + Gs.T @ zs
+            if p:
+                rhs = A @ Sinv(r) - by
+                w = jsl.solve_triangular(Lk, rhs, lower=True)
+                uy = jsl.solve_triangular(Lk.T, w, lower=False)
+                ux = Sinv(r - A.T @ uy)
+            else:
+                uy = by
+                ux = Sinv(r)
+            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            return ux, uy, Wuz
+
+        return solve
+
+    return factor
+
+
+def get_kktsolver(name: str, G, dims: ConeDims, A, mnl: int = 0,
+                  kktreg: Optional[float] = None):
+    """Map reference kktsolver names (coneprog.py:463) to strategies.
+
+    'ldl'/'ldl2'/'qr' map to the full-system dense factorization
+    `kkt_lu` (the robust path); 'chol' and 'chol2' map to their direct
+    equivalents.
+    """
+    if name in ("ldl", "ldl2", "qr"):
+        return kkt_lu(G, dims, A, mnl=mnl, kktreg=kktreg)
+    if name == "chol":
+        return kkt_chol(G, dims, A, mnl=mnl)
+    if name == "chol2":
+        return kkt_chol2(G, dims, A, mnl=mnl)
+    raise ValueError(f"'{name}' is not a valid value for kktsolver")

@@ -1,0 +1,26 @@
+"""cvxopt_tpu.solvers — solver front door.
+
+Equivalent of the reference's `cvxopt.solvers` module
+(/root/reference/src/python/solvers.py:35-41): exports the core IPM
+solvers and the shared `options` dict.
+
+    options['show_progress']  bool (default: False here; the reference
+                              defaults to True — a jit-compiled solver
+                              prints via jax.debug.print when enabled)
+    options['maxiters']       positive integer (default: 100)
+    options['abstol']         scalar (default: 1e-7)
+    options['reltol']         scalar (default: 1e-6)
+    options['feastol']        scalar (default: 1e-7)
+    options['refinement']     nonnegative integer (default: 0 when no
+                              'q'/'s' cones, else 1)
+    options['kktreg']         static KKT regularization (default: None)
+"""
+
+from cvxopt_tpu.conelp import conelp, make_conelp
+from cvxopt_tpu.coneqp import coneqp, make_coneqp
+from cvxopt_tpu.frontends import lp, qp, socp, sdp
+
+options = {}
+
+__all__ = ["conelp", "coneqp", "lp", "qp", "socp", "sdp", "options",
+           "make_conelp", "make_coneqp"]
