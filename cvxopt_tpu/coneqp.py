@@ -1,5 +1,331 @@
-"""coneqp placeholder — filled in next."""
-def coneqp(*a, **k):
-    raise NotImplementedError
-def make_coneqp(*a, **k):
-    raise NotImplementedError
+"""coneqp — cone quadratic program solver.
+
+TPU-native re-design of the reference solver
+/root/reference/src/python/coneprog.py:1440-2547
+(`cvxopt.solvers.coneqp`): an infeasible-start Mehrotra
+predictor-corrector primal-dual IPM (no homogeneous embedding, no
+infeasibility certificates), with Nesterov-Todd scaling and the
+`use_correction` toggle (coneprog.py:1781, 2377).
+
+Solves
+    minimize    (1/2) x'Px + q'x
+    subject to  G x + s = h,  A x = b,  s >= 0 (wrt the cone)
+
+Same TPU-first architecture as conelp.py: the whole solve is one
+jit-compiled `lax.while_loop`, vmap-batchable; singular KKT becomes a
+status code via NaN detection.
+
+Status codes: 0 optimal, 3 unknown (maxiters), 4 unknown (singular).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cvxopt_tpu import cones
+from cvxopt_tpu.cones import ConeDims
+from cvxopt_tpu import scaling as nt
+from cvxopt_tpu import kkt as kktmod
+from cvxopt_tpu.conelp import (
+    STATUS_RUNNING, STATUS_OPTIMAL, STATUS_UNKNOWN_MAXITERS,
+    STATUS_UNKNOWN_SINGULAR, STATUS_STRINGS, STEP, EXPON, _prep_inputs,
+)
+
+
+@functools.lru_cache(maxsize=128)
+def make_coneqp(dims: ConeDims, kktsolver: str = "default",
+                maxiters: int = 100, abstol: float = 1e-7,
+                reltol: float = 1e-6, feastol: float = 1e-7,
+                refinement: Optional[int] = None,
+                kktreg: Optional[float] = None,
+                correction: bool = True,
+                show_progress: bool = False):
+    """Build the jitted coneqp core: f(P, q, G, h, A, b) -> result dict
+    of arrays.  Cached per dims+options; the vmap entry point for the
+    batched-scenario configurations."""
+    if refinement is None:
+        refinement = 1 if (dims.q or dims.s) else 0
+    if kktsolver == "default":
+        # reference: 'chol' if q/s else 'chol2' (coneprog.py:1805-1809)
+        kktsolver = "chol"
+
+    def core(P, q, G, h, A, b):
+        n = q.shape[0]
+        p = A.shape[0]
+        dtype = q.dtype
+        e = cones.cone_identity(dims, dtype=dtype)
+        e_lq = e[:dims.lnl + dims.qdim]
+
+        factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                      kktreg=kktreg)
+
+        resx0 = jnp.maximum(1.0, jnp.linalg.norm(q))
+        resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
+        resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
+
+        # ---- initial point (coneprog.py:2044-2106) -------------------
+        Wid = nt.identity_scaling(dims, dtype=dtype)
+        f0 = factor(Wid, P)
+        x, y, z = f0(-q, b, h)
+        s = -z
+
+        nrms = cones.snrm2(s, dims)
+        ts = cones.max_step(s, dims)
+        s = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
+                      s + (1.0 + ts) * e, s)
+        nrmz = cones.snrm2(z, dims)
+        tz = cones.max_step(z, dims)
+        z = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
+                      z + (1.0 + tz) * e, z)
+
+        W, lmbda = nt.compute_scaling(s, z, dims)
+        gap = cones.sdot(s, z, dims)
+        nan = jnp.asarray(jnp.nan, dtype)
+
+        state = dict(
+            x=x, y=y, s=s, z=z, W=W, lmbda=lmbda, gap=gap,
+            iters=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(STATUS_RUNNING, jnp.int32),
+            pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
+        )
+
+        def cond(st):
+            return st["status"] == STATUS_RUNNING
+
+        def body(st):
+            x, y, s, z = st["x"], st["y"], st["s"], st["z"]
+            W, lmbda, gap = st["W"], st["lmbda"], st["gap"]
+            iters = st["iters"]
+
+            # ---- residuals (coneprog.py:2169-2204) -------------------
+            Px = P @ x
+            rx = Px + q + A.T @ y + G.T @ z
+            f0_ = 0.5 * (jnp.dot(x, Px) + jnp.dot(x, q))
+            resx = jnp.linalg.norm(rx)
+            ry = A @ x - b
+            resy = jnp.linalg.norm(ry)
+            rz = s + G @ x - h
+            resz = cones.snrm2(rz, dims)
+
+            pcost = f0_
+            dcost = f0_ + jnp.dot(y, ry) + cones.sdot(z, rz, dims) - gap
+            inf = jnp.asarray(jnp.inf, q.dtype)
+            relgap = jnp.where(
+                pcost < 0.0, gap / -pcost,
+                jnp.where(dcost > 0.0, gap / dcost, inf))
+            pres = jnp.maximum(resy / resy0, resz / resz0)
+            dres = resx / resx0
+
+            if show_progress:
+                jax.debug.print(
+                    "{i:2d}: {pc: 8.4e} {dc: 8.4e} {g: 4.0e} {pr:7.0e} "
+                    "{dr:7.0e}",
+                    i=iters, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres)
+
+            optimal = ((pres <= feastol) & (dres <= feastol)
+                       & ((gap <= abstol) | (relgap <= reltol)))
+            maxed = iters >= maxiters
+            new_status = jnp.where(
+                optimal, STATUS_OPTIMAL,
+                jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
+                          STATUS_RUNNING)).astype(jnp.int32)
+            exiting = new_status != STATUS_RUNNING
+
+            upd = _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz)
+            x2, y2, s2, z2, W2, lmbda2, gap2 = upd
+
+            ok = jnp.isfinite(gap2) & jnp.isfinite(jnp.sum(lmbda2))
+            new_status = jnp.where(exiting, new_status,
+                                   jnp.where(ok, STATUS_RUNNING,
+                                             STATUS_UNKNOWN_SINGULAR))
+            keep = exiting | ~ok
+
+            def sel(a, bnew):
+                return jax.tree_util.tree_map(
+                    lambda u, v: jnp.where(keep, u, v), a, bnew)
+
+            out = dict(st)
+            out.update(pcost=pcost, dcost=dcost, relgap=relgap,
+                       pres=pres, dres=dres)
+            out["status"] = new_status
+            out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
+            out["x"] = sel(x, x2)
+            out["y"] = sel(y, y2)
+            out["s"] = sel(s, s2)
+            out["z"] = sel(z, z2)
+            out["W"] = sel(W, W2)
+            out["lmbda"] = sel(lmbda, lmbda2)
+            out["gap"] = sel(gap, gap2)
+            return out
+
+        def _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz):
+            lmbdasq = cones.ssqr(lmbda, dims)
+            f3 = factor(W, P)
+
+            def f4_no_ir(bx, by_, bz, bs):
+                # (coneprog.py:2288-2316)
+                us = cones.sinv(bs, lmbda, dims)
+                uz = bz - nt.scale(us, W, dims, trans="T")
+                ux, uy, uz = f3(bx, by_, uz)
+                us = us - uz
+                return ux, uy, uz, us
+
+            def resid4(ux, uy, uz, us, vx, vy, vz, vs):
+                # (coneprog.py:1930-1960)
+                wz3 = nt.scale(uz, W, dims, inverse="I")
+                vx = vx - P @ ux - A.T @ uy - G.T @ wz3
+                vy = vy - A @ ux
+                vz = vz - G @ ux - nt.scale(us, W, dims, trans="T")
+                vs = vs - cones.sprod_diag(us + uz, lmbda, dims)
+                return vx, vy, vz, vs
+
+            def f4(bx, by_, bz, bs):
+                u = f4_no_ir(bx, by_, bz, bs)
+                for _ in range(refinement):
+                    v = resid4(*u, bx, by_, bz, bs)
+                    du = f4_no_ir(*v)
+                    u = tuple(a + d for a, d in zip(u, du))
+                return u
+
+            mu = gap / dims.cdim_diag
+            lmbdasq_full = cones.diag_embed(lmbdasq, dims)
+
+            # ---- predictor (i=0, coneprog.py:2360-2455) --------------
+            ds_in = -lmbdasq_full
+            dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
+            dsdz = cones.sdot(ds, dz, dims)
+            ws3 = cones.sprod(ds, dz, dims)
+            ds_sc = nt.scale2(lmbda, ds, dims)
+            dz_sc = nt.scale2(lmbda, dz, dims)
+            ts = cones.max_step(ds_sc, dims)
+            tz = cones.max_step(dz_sc, dims)
+            t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+            step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, 1.0 / t))
+            sigma = jnp.minimum(
+                1.0, jnp.maximum(0.0,
+                                 1.0 - step + dsdz / gap * step ** 2)
+            ) ** EXPON
+
+            # ---- corrector (i=1) -------------------------------------
+            ds_in = -lmbdasq_full + sigma * mu * e
+            if correction:
+                ds_in = ds_in - ws3
+            dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
+            ds_sc = nt.scale2(lmbda, ds, dims)
+            dz_sc = nt.scale2(lmbda, dz, dims)
+            ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
+            tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
+            t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+            step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, STEP / t))
+
+            # ---- update (coneprog.py:2459-2547) ----------------------
+            x = x + step * dx
+            y = y + step * dy
+
+            nlq = dims.lnl + dims.qdim
+            ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
+            dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
+            ds2 = nt.scale2(lmbda, ds2, dims, inverse="I")
+            dz2 = nt.scale2(lmbda, dz2, dims, inverse="I")
+
+            if dims.s:
+                lam_s = lmbda[nlq:]
+                sig_s = (1.0 + step * sigs) / lam_s
+                sig_z = (1.0 + step * sigz) / lam_s
+                for run in dims.s_runs:
+                    off, doff, cnt, m = run
+                    i0 = doff - nlq
+                    cs = jnp.sqrt(sig_s[i0:i0 + cnt * m]).reshape(cnt, m)
+                    cz = jnp.sqrt(sig_z[i0:i0 + cnt * m]).reshape(cnt, m)
+                    Vs = cones.sview(ds2, run) * cs[..., None, :]
+                    Vz = cones.sview(dz2, run) * cz[..., None, :]
+                    ds2 = ds2.at[off:off + cnt * m * m].set(
+                        Vs.reshape(-1))
+                    dz2 = dz2.at[off:off + cnt * m * m].set(
+                        Vz.reshape(-1))
+
+            W2, lmbda2 = nt.update_scaling(W, lmbda, ds2, dz2, dims)
+
+            lam_full = cones.diag_embed(lmbda2, dims)
+            s2 = nt.scale(lam_full, W2, dims, trans="T")
+            z2 = nt.scale(lam_full, W2, dims, inverse="I")
+            gap2 = jnp.dot(lmbda2, lmbda2)
+            return x, y, s2, z2, W2, lmbda2, gap2
+
+        final = lax.while_loop(cond, body, state)
+        ts = cones.max_step(final["s"], dims)
+        tz = cones.max_step(final["z"], dims)
+        return dict(
+            x=final["x"], y=final["y"], s=final["s"], z=final["z"],
+            status=final["status"], iterations=final["iters"],
+            gap=final["gap"], relgap=final["relgap"],
+            pcost=final["pcost"], dcost=final["dcost"],
+            pres=final["pres"], dres=final["dres"],
+            primal_slack=-ts, dual_slack=-tz,
+        )
+
+    return jax.jit(core)
+
+
+def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
+           kktsolver=None, options=None, **kwargs):
+    """Solve a cone QP; returns the reference-format result dict
+    (coneprog.py:125-283, no certificate entries)."""
+    from cvxopt_tpu.solvers import options as global_options
+    opts = dict(global_options)
+    if options:
+        opts.update(options)
+    q = jnp.asarray(q)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    q = q.astype(dtype).reshape(-1)
+    n = q.shape[0]
+    P = jnp.asarray(P, dtype=dtype).reshape(n, n)
+    P = 0.5 * (P + P.T)
+    if G is None and h is None:
+        G = jnp.zeros((0, n), dtype=dtype)
+        h = jnp.zeros((0,), dtype=dtype)
+        if dims is None:
+            dims = ConeDims(l=0)
+    _, G, h, dims, A, b = _prep_inputs(q, G, h, dims, A, b, dtype=dtype)
+    fn = make_coneqp(
+        dims,
+        kktsolver=kktsolver or "default",
+        maxiters=int(opts.get("maxiters", 100)),
+        abstol=float(opts.get("abstol", 1e-7)),
+        reltol=float(opts.get("reltol", 1e-6)),
+        feastol=float(opts.get("feastol", 1e-7)),
+        refinement=opts.get("refinement", None),
+        kktreg=opts.get("kktreg", None),
+        correction=bool(opts.get("use_correction", True)),
+        show_progress=bool(opts.get("show_progress", False)),
+    )
+    raw = fn(P, q, G, h, A, b)
+    return finalize_qp_result(raw)
+
+
+def finalize_qp_result(raw):
+    """Reference result-dict format for coneqp (coneprog.py:2229-2234)."""
+    status = int(raw["status"])
+
+    def fin(v):
+        v = float(v)
+        return None if (v != v or abs(v) == float("inf")) else v
+
+    return {
+        "status": STATUS_STRINGS.get(status, "unknown"),
+        "x": raw["x"], "y": raw["y"], "s": raw["s"], "z": raw["z"],
+        "gap": fin(raw["gap"]),
+        "relative gap": fin(raw["relgap"]),
+        "primal objective": fin(raw["pcost"]),
+        "dual objective": fin(raw["dcost"]),
+        "primal infeasibility": fin(raw["pres"]),
+        "dual infeasibility": fin(raw["dres"]),
+        "primal slack": fin(raw["primal_slack"]),
+        "dual slack": fin(raw["dual_slack"]),
+        "iterations": int(raw["iterations"]),
+    }

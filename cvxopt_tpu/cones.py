@@ -382,15 +382,19 @@ def symmetrize(x: Array, dims: ConeDims) -> Array:
 
 
 def symmetrize_lower(x: Array, dims: ConeDims) -> Array:
-    """Fill the upper triangle of the 's' blocks from the lower triangle
-    (exact equivalent of misc.symm, misc.py:862-872) — for consuming
-    reference-style 'L'-storage inputs."""
+    """Symmetrize the 's' blocks from the reference's 'L' storage
+    (exact equivalent of misc.symm, misc.py:862-872, composed with the
+    trisc read semantics, misc.py:768): only the COLUMN-major lower
+    triangle of each block is meaningful.  Our storage is row-major, so
+    the column-major lower triangle is the row-major UPPER triangle —
+    this matters for inputs whose 's' rows are not symmetric (e.g. the
+    user-guide SDP example's third coefficient matrix)."""
     out = x
     for run in dims.s_runs:
         off, _, cnt, m = run
         X = sview(x, run)
-        L = jnp.tril(X)
-        S = L + jnp.swapaxes(jnp.tril(X, -1), -1, -2)
+        U = jnp.triu(X)
+        S = U + jnp.swapaxes(jnp.triu(X, 1), -1, -2)
         out = _set(out, slice(off, off + cnt * m * m), S)
     return out
 

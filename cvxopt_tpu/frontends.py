@@ -1,9 +1,133 @@
-"""front-ends placeholder — filled in next."""
-def lp(*a, **k):
-    raise NotImplementedError
-def qp(*a, **k):
-    raise NotImplementedError
-def socp(*a, **k):
-    raise NotImplementedError
-def sdp(*a, **k):
-    raise NotImplementedError
+"""Solver front-ends: lp, qp, socp, sdp.
+
+TPU-native equivalents of the reference front-ends
+(/root/reference/src/python/coneprog.py:2550 lp, 4156 qp, 3013 socp,
+3566 sdp): stack cone blocks, dispatch to conelp/coneqp, and split the
+solution back into per-block pieces with the reference's result keys
+('sl'/'sq'/'zl'/'zq' for socp, 'sl'/'ss'/'zl'/'zs' for sdp).
+
+External-solver dispatch (solver='glpk'/'mosek'/'dsdp') is not
+available on TPU; passing those names raises ValueError.  The default
+(None) path — the reference's own IPM — is fully supported.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from cvxopt_tpu.cones import ConeDims
+from cvxopt_tpu.conelp import conelp
+from cvxopt_tpu.coneqp import coneqp
+
+_EXTERNAL = ("glpk", "mosek", "dsdp")
+
+
+def _check_solver(solver):
+    if solver in _EXTERNAL:
+        raise ValueError(
+            f"external solver '{solver}' is not available in cvxopt_tpu; "
+            "use the default (None) TPU-native solver")
+    if solver is not None:
+        raise ValueError(f"invalid solver '{solver}'")
+
+
+def lp(c, G, h, A=None, b=None, solver=None, options=None, **kwargs):
+    """LP front-end (coneprog.py:2550): conelp with dims = {'l': m}."""
+    _check_solver(solver)
+    return conelp(c, G, h, dims=None, A=A, b=b, options=options)
+
+
+def qp(P, q, G=None, h=None, A=None, b=None, solver=None, options=None,
+       initvals=None, **kwargs):
+    """QP front-end (coneprog.py:4156): coneqp with dims = {'l': m}."""
+    _check_solver(solver)
+    return coneqp(P, q, G, h, dims=None, A=A, b=b, options=options)
+
+
+def _stack_cols(blocks, n):
+    mats = [np.asarray(B, dtype=float).reshape(-1, n) for B in blocks]
+    if not mats:
+        return np.zeros((0, n))
+    return np.concatenate(mats, axis=0)
+
+
+def socp(c, Gl=None, hl=None, Gq=None, hq=None, A=None, b=None,
+         solver=None, options=None, **kwargs):
+    """SOCP front-end (coneprog.py:3013): stacks Gl and the Gq[k] blocks
+    into one conelp call; splits s, z back into 'sl'/'sq'/'zl'/'zq'."""
+    _check_solver(solver)
+    c = np.asarray(c, dtype=float).reshape(-1)
+    n = c.shape[0]
+    Gq = Gq or []
+    hq = hq or []
+    if Gl is None:
+        Gl = np.zeros((0, n))
+        hl = np.zeros((0,))
+    Gl = np.asarray(Gl, dtype=float).reshape(-1, n)
+    hl = np.asarray(hl, dtype=float).reshape(-1)
+    ml = Gl.shape[0]
+    mq = [np.asarray(hk).size for hk in hq]
+    G = np.concatenate([Gl, _stack_cols(Gq, n)], axis=0)
+    h = np.concatenate([hl] + [np.asarray(hk, dtype=float).reshape(-1)
+                               for hk in hq])
+    dims = ConeDims(l=ml, q=tuple(mq))
+    sol = conelp(c, G, h, dims=dims, A=A, b=b, options=options)
+
+    def split(v):
+        if v is None:
+            return None, None
+        v = np.asarray(v)
+        vl = v[:ml]
+        vq, ind = [], ml
+        for m in mq:
+            vq.append(v[ind:ind + m])
+            ind += m
+        return vl, vq
+
+    sl, sq = split(sol.pop("s", None))
+    zl, zq = split(sol.pop("z", None))
+    sol["sl"], sol["sq"] = sl, sq
+    sol["zl"], sol["zq"] = zl, zq
+    return sol
+
+
+def sdp(c, Gl=None, hl=None, Gs=None, hs=None, A=None, b=None,
+        solver=None, options=None, **kwargs):
+    """SDP front-end (coneprog.py:3566): Gs[k] are (m_k^2, n) blocks,
+    hs[k] are (m_k, m_k) matrices; splits s, z back into
+    'sl'/'ss'/'zl'/'zs' (ss/zs as (m_k, m_k) matrices)."""
+    _check_solver(solver)
+    c = np.asarray(c, dtype=float).reshape(-1)
+    n = c.shape[0]
+    Gs = Gs or []
+    hs = hs or []
+    if Gl is None:
+        Gl = np.zeros((0, n))
+        hl = np.zeros((0,))
+    Gl = np.asarray(Gl, dtype=float).reshape(-1, n)
+    hl = np.asarray(hl, dtype=float).reshape(-1)
+    ml = Gl.shape[0]
+    ms = [np.asarray(hk, dtype=float).reshape(-1) for hk in hs]
+    msizes = [int(round(len(v) ** 0.5)) for v in ms]
+    G = np.concatenate([Gl, _stack_cols(Gs, n)], axis=0)
+    h = np.concatenate([hl] + ms)
+    dims = ConeDims(l=ml, s=tuple(msizes))
+    sol = conelp(c, G, h, dims=dims, A=A, b=b, options=options)
+
+    def split(v):
+        if v is None:
+            return None, None
+        v = np.asarray(v)
+        vl = v[:ml]
+        vs, ind = [], ml
+        for m in msizes:
+            vs.append(v[ind:ind + m * m].reshape(m, m))
+            ind += m * m
+        return vl, vs
+
+    sl, ss = split(sol.pop("s", None))
+    zl, zs = split(sol.pop("z", None))
+    sol["sl"], sol["ss"] = sl, ss
+    sol["zl"], sol["zs"] = zl, zs
+    return sol

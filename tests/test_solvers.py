@@ -1,0 +1,223 @@
+"""Integration tests for conelp/coneqp and the lp/qp/socp/sdp
+front-ends, mirroring the reference's example-based test strategy
+(/root/reference/tests/test_examples.py): the documented example
+problems with their known solutions."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvxopt_tpu import solvers
+from cvxopt_tpu.cones import ConeDims
+
+
+def test_doc_lp():
+    """examples/doc/chap8/lp.py: x ~ [1, 1]."""
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    sol = solvers.lp(c, G, h)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [1.0, 1.0],
+                               atol=1e-5)
+
+
+def test_doc_conelp():
+    """examples/doc/chap8/conelp.py (l=2, q=[4,4], s=[3])."""
+    cols = [
+        [16., 7., 24., -8., 8., -1., 0., -1., 0., 0., 7., -5., 1., -5.,
+         1., -7., 1., -7., -4.],
+        [-14., 2., 7., -13., -18., 3., 0., 0., -1., 0., 3., 13., -6.,
+         13., 12., -10., -6., -10., -28.],
+        [5., 0., -15., 12., -6., 17., 0., 0., 0., -1., 9., 6., -6., 6.,
+         -7., -7., -6., -7., -11.]]
+    G = np.array(cols).T
+    c = np.array([-6., -4., -5.])
+    h = np.array([-3., 5., 12., -2., -14., -13., 10., 0., 0., 0., 68.,
+                  -30., -19., -30., 99., 23., -19., 23., 10.])
+    dims = {'l': 2, 'q': [4, 4], 's': [3]}
+    sol = solvers.conelp(c, G, h, dims)
+    assert sol["status"] == "optimal"
+    # documented solution (CVXOPT user guide section 8.1)
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [-1.220915, 0.096633, 3.577502],
+                               atol=1e-4)
+
+
+def test_doc_coneqp():
+    """examples/doc/chap8/coneqp.py: x ~ [0.72558, 0.61806, 0.30254]
+    (reference tests/test_examples.py:26-30, 5 places)."""
+    A = np.array([[.3, .6, -.3],
+                  [-.4, 1.2, .0],
+                  [-.2, -1.7, .6],
+                  [-.4, .3, -1.2],
+                  [1.3, -.3, -2.0]])
+    b = np.array([1.5, .0, -1.2, -.7, .0])
+    m, n = A.shape
+    I = np.eye(n)
+    G = np.concatenate([-I, np.zeros((1, n)), I], axis=0)
+    h = np.array(n * [0.0] + [1.0] + n * [0.0])
+    dims = {'l': n, 'q': [n + 1], 's': []}
+    sol = solvers.coneqp(A.T @ A, -A.T @ b, G, h, dims)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(
+        np.asarray(sol["x"]), [0.72558319, 0.61806264, 0.30253528],
+        atol=1e-5)
+
+
+def test_doc_socp():
+    """examples/doc/chap8/socp.py."""
+    c = np.array([-2., 1., 5.])
+    # cvxopt matrix(...) columns -> transpose
+    G0 = np.array([[12., 13., 12.], [6., -3., -12.],
+                   [-5., -5., 6.]]).T
+    G1 = np.array([[3., 3., -1., 1.], [-6., -6., -9., 19.],
+                   [10., -2., -2., -3.]]).T
+    h0 = np.array([-12., -3., -2.])
+    h1 = np.array([27., 0., 3., -42.])
+    sol = solvers.socp(c, Gq=[G0, G1], hq=[h0, h1])
+    assert sol["status"] == "optimal"
+    # documented solution (user guide, 3 digits): x = [-5.02, -5.77, -8.52]
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [-5.0147, -5.7669, -8.5218], atol=2e-3)
+    assert len(sol["zq"]) == 2 and sol["zq"][0].shape == (3,)
+
+
+def test_doc_sdp():
+    """examples/doc/chap8/sdp.py."""
+    c = np.array([1., -1., 1.])
+    G0 = np.array([[-7., -11., -11., 3.],
+                   [7., -18., -18., 8.],
+                   [-2., -8., -8., 1.]]).T
+    G1 = np.array([[-21., -11., 0., -11., 10., 8., 0., 8., 5.],
+                   [0., 10., 16., 10., -10., -10., 16., -10., 3.],
+                   [-5., 2., -17., 2., -6., 8., -17., -7., 6.]]).T
+    h0 = np.array([[33., -9.], [-9., 26.]])
+    h1 = np.array([[14., 9., 40.], [9., 91., 10.], [40., 10., 15.]])
+    sol = solvers.sdp(c, Gs=[G0, G1], hs=[h0, h1])
+    assert sol["status"] == "optimal"
+    # documented solution (user guide, 3 digits): x = [-0.368, 1.90, -0.888]
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [-0.3677, 1.8983, -0.8876], atol=2e-3)
+    assert sol["zs"][0].shape == (2, 2) and sol["zs"][1].shape == (3, 3)
+
+
+def test_lp_equality():
+    c = np.array([-1., -1.])
+    G = -np.eye(2)
+    h = np.zeros(2)
+    A = np.array([[1., 1.]])
+    b = np.array([1.])
+    sol = solvers.conelp(c, G, h, A=A, b=b)
+    assert sol["status"] == "optimal"
+    assert abs(sol["primal objective"] + 1.0) < 1e-7
+
+
+def test_primal_infeasible():
+    c = np.array([1.0])
+    G = np.array([[1.0], [-1.0]])
+    h = np.array([-1.0, -1.0])
+    sol = solvers.conelp(c, G, h)
+    assert sol["status"] == "primal infeasible"
+    assert sol["x"] is None
+    assert sol["dual objective"] == 1.0
+    assert sol["residual as primal infeasibility certificate"] < 1e-7
+
+
+def test_dual_infeasible():
+    c = np.array([-1.0])
+    G = np.array([[-1.0]])
+    h = np.array([0.0])
+    sol = solvers.conelp(c, G, h)
+    assert sol["status"] == "dual infeasible"
+    assert sol["y"] is None
+    assert sol["primal objective"] == -1.0
+
+
+def test_maxiters_unknown():
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    sol = solvers.lp(c, G, h, options={"maxiters": 1})
+    assert sol["status"] == "unknown"
+    assert sol["iterations"] == 1
+
+
+def test_qp_unconstrained_equality():
+    """coneqp with cdim == 0 (coneprog.py:2002-2041 shortcut path)."""
+    P = np.array([[2., 0.], [0., 2.]])
+    q = np.array([-2., -4.])
+    A = np.array([[1., 1.]])
+    b = np.array([1.])
+    sol = solvers.coneqp(P, q, A=A, b=b)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [0.0, 1.0],
+                               atol=1e-6)
+
+
+def test_qp_markowitz_small():
+    """Small Markowitz portfolio QP (pattern of
+    examples/doc/chap8/portfolio.py)."""
+    rng = np.random.default_rng(3)
+    n = 20
+    F = rng.standard_normal((n, 2 * n)) / np.sqrt(2 * n)
+    S = F @ F.T + 0.01 * np.eye(n)
+    pbar = rng.uniform(0.0, 0.1, n)
+    G = -np.eye(n)
+    h = np.zeros(n)
+    A = np.ones((1, n))
+    b = np.array([1.0])
+    mu = 1.0
+    sol = solvers.coneqp(mu * S, -pbar, G, h, A=A, b=b)
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])
+    assert abs(x.sum() - 1.0) < 1e-6
+    assert x.min() > -1e-7
+    # KKT optimality: projected gradient vanishes on the support
+    g = mu * S @ x - pbar
+    lam = -(g[x > 1e-6]).mean()
+    assert np.max(np.abs(g[x > 1e-6] + lam)) < 1e-5
+
+
+def test_batched_vmap_lp():
+    """Batch-first design: vmap over stacked problem instances."""
+    from cvxopt_tpu.conelp import make_conelp
+    dims = ConeDims(l=4)
+    fn = make_conelp(dims)
+    c = jnp.array([-4., -5.])
+    G = jnp.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    A = jnp.zeros((0, 2))
+    b = jnp.zeros((0,))
+    hs = jnp.stack([jnp.array([3., 3., 0., 0.]) * (1 + 0.1 * k)
+                    for k in range(8)])
+    out = jax.vmap(lambda h_: fn(c, G, h_, A, b))(hs)
+    assert np.all(np.asarray(out["status"]) == 0)
+    np.testing.assert_allclose(
+        np.asarray(out["pcost"]),
+        [-9.0 * (1 + 0.1 * k) for k in range(8)], rtol=1e-6)
+
+
+def test_batched_vmap_qp():
+    from cvxopt_tpu.coneqp import make_coneqp
+    rng = np.random.default_rng(0)
+    n, nb = 8, 16
+    dims = ConeDims(l=n)
+    fn = make_coneqp(dims)
+    Fs = rng.standard_normal((nb, n, n))
+    Ps = jnp.asarray(Fs @ Fs.transpose(0, 2, 1) + np.eye(n))
+    qs = jnp.asarray(rng.standard_normal((nb, n)))
+    G = jnp.asarray(-np.eye(n))
+    h = jnp.zeros(n)
+    A = jnp.zeros((0, n))
+    b = jnp.zeros((0,))
+    out = jax.vmap(lambda P, q: fn(P, q, G, h, A, b))(Ps, qs)
+    assert np.all(np.asarray(out["status"]) == 0)
+    # verify KKT conditions per instance
+    for k in range(nb):
+        x = np.asarray(out["x"][k])
+        z = np.asarray(out["z"][k])
+        g = np.asarray(Ps[k]) @ x + np.asarray(qs[k]) - z
+        assert np.max(np.abs(g)) < 1e-6
+        assert x.min() > -1e-7 and z.min() > -1e-7
+        assert abs(x @ z) < 1e-6
