@@ -1,0 +1,149 @@
+"""Benchmark driver — prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline config (BASELINE.md config 5): a batch of independent n=256
+scenario QPs (box + budget constraints), vmapped and solved on the TPU
+chip in one jit-compiled program.  Metric: aggregate IPM iterations/s.
+
+Baseline: the same workload solved one instance at a time by the
+single-core numpy/LAPACK reference implementation (cvxopt_tpu/_npref.py
+— the same algorithm CVXOPT runs: interpreted Python driving LAPACK
+potrf/potrs), restricted to one thread.
+
+Extra diagnostic fields beyond the required four are included in the
+same JSON line.
+"""
+
+import os
+
+os.environ.setdefault("OMP_NUM_THREADS", "4")
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_batch(nb, n, dtype=np.float64, seed=0):
+    """Scenario QPs: min 1/2 x'Px + q'x  s.t. 0 <= x <= 1, sum x = 1."""
+    rng = np.random.default_rng(seed)
+    F = rng.standard_normal((nb, n, n // 4)) / np.sqrt(n)
+    P = F @ F.transpose(0, 2, 1) + 0.1 * np.eye(n)
+    q = -rng.uniform(0.0, 0.1, (nb, n))
+    I = np.eye(n)
+    G1 = np.concatenate([-I, I], axis=0)
+    G = np.broadcast_to(G1, (nb, 2 * n, n)).copy()
+    h = np.broadcast_to(np.concatenate([np.zeros(n), np.ones(n)]),
+                        (nb, 2 * n)).copy()
+    A = np.broadcast_to(np.ones((1, n)), (nb, 1, n)).copy()
+    b = np.ones((nb, 1))
+    return (P.astype(dtype), q.astype(dtype), G.astype(dtype),
+            h.astype(dtype), A.astype(dtype), b.astype(dtype))
+
+
+def bench_tpu(nb, n, dtype, tol, maxiters=50):
+    import jax
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.coneqp import make_coneqp
+
+    dims = ConeDims(l=2 * n)
+    core = make_coneqp(dims, maxiters=maxiters, abstol=tol, reltol=tol,
+                       feastol=tol)
+    vf = jax.jit(jax.vmap(core))
+
+    args = make_batch(nb, n, dtype=dtype)
+    args = [jax.device_put(a) for a in args]
+
+    # compile
+    t0 = time.time()
+    out = vf(*args)
+    jax.block_until_ready(out)
+    compile_and_first = time.time() - t0
+
+    # timed: repeat until >= 0.5 s measured for a stable rate
+    reps, dt = 0, 0.0
+    t0 = time.time()
+    while dt < 0.5 and reps < 50:
+        out = vf(*args)
+        jax.block_until_ready(out)
+        reps += 1
+        dt = time.time() - t0
+    dt = dt / reps
+
+    status = np.asarray(out["status"])
+    iters = np.asarray(out["iterations"])
+    gaps = np.asarray(out["relgap"])
+    return dict(
+        time_s=dt,
+        compile_s=compile_and_first - dt,
+        total_iters=int(iters.sum()),
+        solved=int((status == 0).sum()),
+        nb=nb,
+        max_relgap=float(np.nanmax(gaps)),
+        iters_per_s=float(iters.sum() / dt),
+        backend=jax.devices()[0].platform,
+        device=str(jax.devices()[0]),
+    )
+
+
+def bench_cpu_baseline(n, tol, k=3, maxiters=50):
+    """Single-core reference iterations/s on identical instances."""
+    from cvxopt_tpu._npref import coneqp_np
+    args = make_batch(k, n, dtype=np.float64)
+    t0 = time.time()
+    total = 0
+    solved = 0
+    for i in range(k):
+        P, q, G, h, A, b = (a[i] for a in args)
+        r = coneqp_np(P, q, G, h, A, b.reshape(-1), maxiters=maxiters,
+                      abstol=tol, reltol=tol, feastol=tol)
+        total += r["iterations"]
+        solved += r["status"] == "optimal"
+    dt = time.time() - t0
+    return dict(time_s=dt, total_iters=total, solved=solved,
+                iters_per_s=total / dt)
+
+
+def main():
+    import jax
+    # IPM needs true f32 matmuls (default TPU matmul is bf16-based)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    n = int(os.environ.get("BENCH_N", 256))
+    nb = int(os.environ.get("BENCH_B", 256))
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        # f32 on TPU for now (f64 is emulated; mixed-precision
+        # refinement is the planned fp64-accuracy path)
+        dtype, tol = np.float32, 1e-4
+    else:
+        jax.config.update("jax_enable_x64", True)
+        dtype, tol = np.float64, 1e-7
+
+    tpu = bench_tpu(nb, n, dtype, tol)
+    base = bench_cpu_baseline(n, tol if not on_tpu else 1e-7)
+
+    result = {
+        "metric": "batched_qp_ipm_iters_per_s",
+        "value": round(tpu["iters_per_s"], 2),
+        "unit": "iters/s",
+        "vs_baseline": round(tpu["iters_per_s"] / base["iters_per_s"],
+                             2),
+        "config": f"{nb}x n={n} scenario QPs (l=2n box+budget)",
+        "solved": f"{tpu['solved']}/{tpu['nb']}",
+        "max_relgap": tpu["max_relgap"],
+        "batch_time_s": round(tpu["time_s"], 3),
+        "compile_s": round(tpu["compile_s"], 1),
+        "baseline_iters_per_s": round(base["iters_per_s"], 2),
+        "device": tpu["device"],
+        "dtype": np.dtype(dtype).name,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,538 @@
+"""Nonlinear convex solvers: cpl, cp, gp.
+
+TPU-native re-design of /root/reference/src/python/cvxprog.py
+(`cvxopt.solvers.cpl/cp/gp`):
+
+  cpl: minimize c'x  s.t.  f(x) <= 0, G x <= h (cone), A x = b
+       with f: R^n -> R^mnl convex and twice differentiable;
+  cp:  minimize f0(x) s.t. fk(x) <= 0, ... — epigraph reduction to cpl
+       (cvxprog.py:1359-1964);
+  gp:  geometric program in convex (log) form via stabilized
+       log-sum-exp (cvxprog.py:1967-2153).
+
+TPU-first differences from the reference:
+  - the user supplies f as a PURE JAX FUNCTION (plus the starting
+    point x0); the gradient Df and Hessian H(x, z) = sum_k z_k
+    nabla^2 f_k(x) come from jax.jacfwd / jax.hessian automatically —
+    the reference makes users return (f, Df, H) matrices by hand
+    (cvxprog.py:68-96);
+  - domain handling: f returns NaN outside its domain (e.g. log of a
+    negative number) and the line search backtracks on NaN — the
+    jit-compatible analogue of "F(x) returns None" (cvxprog.py:1052);
+  - the merit-function line search (phi = theta1*gap + theta2*||rx|| +
+    theta3*||rznl||, cvxprog.py:1065-1161) runs as a lax.while_loop;
+    the MAX_RELAXED_ITERS relaxed-line-search state machine
+    (cvxprog.py:1081-1261) is not yet implemented — every iteration
+    uses the standard sufficient-decrease backtracking, which is the
+    reference's MAX_RELAXED_ITERS=0 behavior;
+  - the whole solve is one jit-compiled lax.while_loop, vmap-batchable.
+
+Status codes: 0 optimal, 3 unknown (maxiters), 4 unknown (singular).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cvxopt_tpu import cones
+from cvxopt_tpu.cones import ConeDims
+from cvxopt_tpu import scaling as nt
+from cvxopt_tpu import kkt as kktmod
+from cvxopt_tpu.conelp import (
+    STATUS_RUNNING, STATUS_OPTIMAL, STATUS_UNKNOWN_MAXITERS,
+    STATUS_UNKNOWN_SINGULAR, STATUS_STRINGS,
+)
+
+# constants (cvxprog.py:384-388)
+STEP = 0.99
+BETA = 0.5
+ALPHA = 0.01
+EXPON = 3
+MAX_LS_ITERS = 40
+
+
+def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
+             maxiters: int = 100, abstol: float = 1e-7,
+             reltol: float = 1e-6, feastol: float = 1e-7,
+             refinement: int = 1, kktreg: Optional[float] = None,
+             show_progress: bool = False):
+    """Build the jitted cpl core: g(c, x0, G, h, A, b) -> result arrays.
+
+    `dims.mnl` must equal the output length of `f`; `f` must be a pure
+    JAX function R^n -> R^mnl, NaN outside its domain.
+    """
+    assert dims.mnl > 0, "cpl requires a nonlinear block (dims.mnl > 0)"
+    if kktsolver == "default":
+        kktsolver = "chol"   # cvxprog.py:426-430 ('chol' when q/s; the
+        #                      dense condensed path covers 'l' too)
+
+    Df_fn = jax.jacfwd(f)
+
+    def H_fn(x, znl):
+        return jax.hessian(lambda u: jnp.dot(znl, f(u)))(x)
+
+    def core(c, x0, G, h, A, b):
+        n = c.shape[0]
+        p = A.shape[0]
+        dtype = c.dtype
+        mnl = dims.mnl
+        e = cones.cone_identity(dims, dtype=dtype)
+        e_lq = e[:dims.lnl + dims.qdim]
+
+        factor = kktmod.get_kktsolver(kktsolver, G, dims, A, mnl=mnl,
+                                      kktreg=kktreg)
+
+        # initial points (cvxprog.py:556-570): s = z = e
+        x = x0
+        y = jnp.zeros(p, dtype)
+        s = e
+        z = e
+        W = nt.identity_scaling(dims, dtype=dtype)
+        lmbda = cones.diag_part(e, dims)
+
+        # scale factors fixed at iteration 0 (cvxprog.py:711-719)
+        fx0 = f(x0)
+        Df0 = Df_fn(x0)
+        rx_init = c + A.T @ y + Df0.T @ z[:mnl] + G.T @ z[mnl:]
+        resx_init = jnp.linalg.norm(rx_init)
+        rznl_init = s[:mnl] + fx0
+        resznl_init = jnp.linalg.norm(rznl_init)
+        ry_init = A @ x - b
+        rzl_init = s[mnl:] + G @ x - h
+        pres_init = jnp.sqrt(jnp.linalg.norm(ry_init) ** 2
+                             + resznl_init ** 2
+                             + cones.sdot(rzl_init, rzl_init, dims) )
+        gap0 = cones.sdot(s, z, dims)
+        resx0 = jnp.maximum(1.0, resx_init)
+        resznl0 = jnp.maximum(1.0, resznl_init)
+        pres0 = jnp.maximum(1.0, pres_init)
+        dres0 = jnp.maximum(1.0, resx_init)
+        theta1 = 1.0 / gap0
+        theta2 = 1.0 / resx0
+        theta3 = 1.0 / resznl0
+
+        nan = jnp.asarray(jnp.nan, dtype)
+        state = dict(
+            x=x, y=y, s=s, z=z, W=W, lmbda=lmbda,
+            iters=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(STATUS_RUNNING, jnp.int32),
+            gap=gap0, pcost=nan, dcost=nan, relgap=nan, pres=nan,
+            dres=nan,
+        )
+
+        def cond(st):
+            return st["status"] == STATUS_RUNNING
+
+        def body(st):
+            x, y, s, z = st["x"], st["y"], st["s"], st["z"]
+            W, lmbda = st["W"], st["lmbda"]
+            iters = st["iters"]
+
+            fx = f(x)
+            Df = Df_fn(x)
+            H = H_fn(x, z[:mnl])
+
+            gap = cones.sdot(s, z, dims)
+
+            # residuals (cvxprog.py:670-691)
+            rx = c + A.T @ y + Df.T @ z[:mnl] + G.T @ z[mnl:]
+            resx = jnp.linalg.norm(rx)
+            ry = A @ x - b
+            resy = jnp.linalg.norm(ry)
+            rznl = s[:mnl] + fx
+            resznl = jnp.linalg.norm(rznl)
+            rzl = s[mnl:] + G @ x - h
+            reszl = jnp.sqrt(cones.sdot(rzl, rzl, dims))
+
+            pcost = jnp.dot(c, x)
+            dcost = pcost + jnp.dot(y, ry) + jnp.dot(z[:mnl], rznl) \
+                + cones.sdot(z[mnl:], rzl, dims) - gap
+            inf = jnp.asarray(jnp.inf, dtype)
+            relgap = jnp.where(
+                pcost < 0.0, gap / -pcost,
+                jnp.where(dcost > 0.0, gap / dcost, inf))
+            pres = jnp.sqrt(resy ** 2 + resznl ** 2 + reszl ** 2) / pres0
+            dres = resx / dres0
+            phi = theta1 * gap + theta2 * resx + theta3 * resznl
+
+            if show_progress:
+                jax.debug.print(
+                    "{i:2d}: {pc: 8.4e} {dc: 8.4e} {g: 4.0e} {pr:7.0e} "
+                    "{dr:7.0e}",
+                    i=iters, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres)
+
+            optimal = ((pres <= feastol) & (dres <= feastol)
+                       & ((gap <= abstol) | (relgap <= reltol)))
+            maxed = iters >= maxiters
+            new_status = jnp.where(
+                optimal, STATUS_OPTIMAL,
+                jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
+                          STATUS_RUNNING)).astype(jnp.int32)
+            exiting = new_status != STATUS_RUNNING
+
+            upd = _iteration(x, y, s, z, W, lmbda, gap, phi, rx, ry,
+                             rznl, rzl, resx, resznl, Df, H)
+            x2, y2, s2, z2, W2, lmbda2 = upd
+
+            gap2 = cones.sdot(s2, z2, dims)
+            ok = (jnp.isfinite(gap2) & jnp.isfinite(jnp.sum(lmbda2))
+                  & jnp.isfinite(jnp.sum(x2)))
+            new_status = jnp.where(exiting, new_status,
+                                   jnp.where(ok, STATUS_RUNNING,
+                                             STATUS_UNKNOWN_SINGULAR))
+            keep = exiting | ~ok
+
+            def sel(a, bnew):
+                return jax.tree_util.tree_map(
+                    lambda u, v: jnp.where(keep, u, v), a, bnew)
+
+            out = dict(st)
+            out.update(gap=gap, pcost=pcost, dcost=dcost, relgap=relgap,
+                       pres=pres, dres=dres)
+            out["status"] = new_status
+            out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
+            out["x"] = sel(x, x2)
+            out["y"] = sel(y, y2)
+            out["s"] = sel(s, s2)
+            out["z"] = sel(z, z2)
+            out["W"] = sel(W, W2)
+            out["lmbda"] = sel(lmbda, lmbda2)
+            return out
+
+        def _iteration(x, y, s, z, W, lmbda, gap, phi, rx, ry, rznl,
+                       rzl, resx, resznl, Df, H):
+            lmbdasq = cones.ssqr(lmbda, dims)
+            f3 = factor(W, H, Df)
+
+            def f4_no_ir(bx, by_, bz, bs):
+                # (cvxprog.py:858-883)
+                us = cones.sinv(bs, lmbda, dims)
+                uz = bz - nt.scale(us, W, dims, trans="T")
+                ux, uy, uz = f3(bx, by_, uz)
+                us = us - uz
+                return ux, uy, uz, us
+
+            def resid4(ux, uy, uz, us, vx, vy, vz, vs):
+                # (cvxprog.py:889-923)
+                wz3 = nt.scale(uz, W, dims, inverse="I")
+                vx = vx - H @ ux - A.T @ uy - Df.T @ wz3[:mnl] \
+                    - G.T @ wz3[mnl:]
+                vy = vy - A @ ux
+                GGux = jnp.concatenate([Df @ ux, G @ ux])
+                vz = vz - GGux - nt.scale(us, W, dims, trans="T")
+                vs = vs - cones.sprod_diag(us + uz, lmbda, dims)
+                return vx, vy, vz, vs
+
+            def f4(bx, by_, bz, bs):
+                u = f4_no_ir(bx, by_, bz, bs)
+                for _ in range(refinement):
+                    v = resid4(*u, bx, by_, bz, bs)
+                    du = f4_no_ir(*v)
+                    u = tuple(a + d for a, d in zip(u, du))
+                return u
+
+            mu = gap / dims.cdim_diag
+            lmbdasq_full = cones.diag_embed(lmbdasq, dims)
+            rz_full = jnp.concatenate([rznl, rzl])
+
+            def pc_pass(sigma, eta, i):
+                ds_in = -lmbdasq_full + sigma * mu * e
+                dx, dy, dz, ds = f4(-(1.0 - eta) * rx,
+                                    -(1.0 - eta) * ry,
+                                    -(1.0 - eta) * rz_full, ds_in)
+                dsdz = cones.sdot(ds, dz, dims)
+                # unscaled steps for the line search (cvxprog.py:1031)
+                dz2 = nt.scale(dz, W, dims, inverse="I")
+                ds2 = nt.scale(ds, W, dims, trans="T")
+                ds_sc = nt.scale2(lmbda, ds, dims)
+                dz_sc = nt.scale2(lmbda, dz, dims)
+                ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
+                tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
+                t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+                step0 = jnp.where(t == 0.0, 1.0,
+                                  jnp.minimum(1.0, STEP / t))
+
+                # merit line search (cvxprog.py:1065-1181; standard
+                # backtracking = MAX_RELAXED_ITERS=0 behavior), merged
+                # with the domain backtracking (NaN -> backtrack)
+                dphi = jnp.where(
+                    i == 0, -phi,
+                    -theta1 * (1.0 - sigma) * gap
+                    - theta2 * (1.0 - eta) * resx
+                    - theta3 * (1.0 - eta) * resznl)
+
+                def ls_metrics(step):
+                    newx = x + step * dx
+                    newy = y + step * dy
+                    newz = z + step * dz2
+                    news = s + step * ds2
+                    newf = f(newx)
+                    newDf = Df_fn(newx)
+                    newrx = c + A.T @ newy + newDf.T @ newz[:mnl] \
+                        + G.T @ newz[mnl:]
+                    newresx = jnp.linalg.norm(newrx)
+                    newresznl = jnp.linalg.norm(news[:mnl] + newf)
+                    newgap = (1.0 - (1.0 - sigma) * step) * gap \
+                        + step ** 2 * dsdz
+                    newphi = theta1 * newgap + theta2 * newresx \
+                        + theta3 * newresznl
+                    return newgap, newphi
+
+                def ls_cond(carry):
+                    step, k, done = carry
+                    return (~done) & (k < MAX_LS_ITERS)
+
+                def ls_body(carry):
+                    step, k, _ = carry
+                    newgap, newphi = ls_metrics(step)
+                    suff = newphi <= phi + ALPHA * step * dphi
+                    if_pred = jnp.where(
+                        i == 0,
+                        (newgap <= (1.0 - ALPHA * step) * gap) & suff,
+                        suff)
+                    accept = if_pred & jnp.isfinite(newphi)
+                    return (jnp.where(accept, step, step * BETA),
+                            k + 1, accept)
+
+                step, _, _ = lax.while_loop(
+                    ls_cond, ls_body,
+                    (step0, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(False)))
+                newgap, _ = ls_metrics(step)
+                sigma_next = jnp.where(
+                    i == 0,
+                    jnp.minimum(newgap / gap, (newgap / gap) ** EXPON),
+                    sigma)
+                return (dx, dy, dz, ds, ds_q, dz_q, sigs, sigz, step,
+                        sigma_next)
+
+            # predictor then corrector (cvxprog.py:966-1261)
+            zero = jnp.asarray(0.0, dtype)
+            (_, _, _, _, _, _, _, _, _, sigma) = pc_pass(zero, zero, 0)
+            (dx, dy, dz, ds, ds_q, dz_q, sigs, sigz, step,
+             _) = pc_pass(sigma, zero, 1)
+
+            # update (cvxprog.py:1264-1355)
+            x = x + step * dx
+            y = y + step * dy
+
+            nlq = dims.lnl + dims.qdim
+            ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
+            dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
+            ds2 = nt.scale2(lmbda, ds2, dims, inverse="I")
+            dz2 = nt.scale2(lmbda, dz2, dims, inverse="I")
+
+            if dims.s:
+                lam_s = lmbda[nlq:]
+                sig_s = (1.0 + step * sigs) / lam_s
+                sig_z = (1.0 + step * sigz) / lam_s
+                for run in dims.s_runs:
+                    off, doff, cnt, m = run
+                    i0 = doff - nlq
+                    cs = jnp.sqrt(sig_s[i0:i0 + cnt * m]).reshape(cnt, m)
+                    cz = jnp.sqrt(sig_z[i0:i0 + cnt * m]).reshape(cnt, m)
+                    Vs = cones.sview(ds2, run) * cs[..., None, :]
+                    Vz = cones.sview(dz2, run) * cz[..., None, :]
+                    ds2 = ds2.at[off:off + cnt * m * m].set(
+                        Vs.reshape(-1))
+                    dz2 = dz2.at[off:off + cnt * m * m].set(
+                        Vz.reshape(-1))
+
+            W2, lmbda2 = nt.update_scaling(W, lmbda, ds2, dz2, dims)
+            lam_full = cones.diag_embed(lmbda2, dims)
+            s2 = nt.scale(lam_full, W2, dims, trans="T")
+            z2 = nt.scale(lam_full, W2, dims, inverse="I")
+            return x, y, s2, z2, W2, lmbda2
+
+        final = lax.while_loop(cond, body, state)
+        ts = cones.max_step(final["s"], dims)
+        tz = cones.max_step(final["z"], dims)
+        return dict(
+            x=final["x"], y=final["y"], s=final["s"], z=final["z"],
+            status=final["status"], iterations=final["iters"],
+            gap=final["gap"], relgap=final["relgap"],
+            pcost=final["pcost"], dcost=final["dcost"],
+            pres=final["pres"], dres=final["dres"],
+            primal_slack=-ts, dual_slack=-tz,
+        )
+
+    return jax.jit(core)
+
+
+def _prep_nl(G, h, dims, A, b, n, mnl, dtype):
+    if G is None:
+        G = jnp.zeros((0, n), dtype=dtype)
+        h = jnp.zeros((0,), dtype=dtype)
+    G = jnp.asarray(G, dtype=dtype).reshape(-1, n)
+    h = jnp.asarray(h, dtype=dtype).reshape(-1)
+    if dims is None:
+        dims = ConeDims(l=h.shape[0], mnl=mnl)
+    elif isinstance(dims, dict):
+        dims = ConeDims.from_dict(dims, mnl=mnl)
+    elif dims.mnl != mnl:
+        dims = ConeDims(l=dims.l, q=dims.q, s=dims.s, mnl=mnl)
+    if A is None:
+        A = jnp.zeros((0, n), dtype=dtype)
+    A = jnp.asarray(A, dtype=dtype).reshape(-1, n)
+    if b is None:
+        b = jnp.zeros((A.shape[0],), dtype=dtype)
+    b = jnp.asarray(b, dtype=dtype).reshape(-1)
+    # symmetrize 's' rows (reference 'L'-storage read semantics)
+    h_full = jnp.concatenate([jnp.zeros((mnl,), dtype), h])
+    h_full = cones.symmetrize_lower(h_full, dims)
+    h = h_full[mnl:]
+    Gt = jnp.concatenate([jnp.zeros((mnl, G.shape[1]), dtype), G])
+    Gt = jnp.swapaxes(
+        cones.symmetrize_lower(jnp.swapaxes(Gt, 0, 1), dims), 0, 1)
+    G = Gt[mnl:]
+    return G, h, dims, A, b
+
+
+def _nl_result(raw, mnl):
+    """cpl/cp result dict (cvxprog.py:750-755): snl/sl/znl/zl split."""
+    status = int(raw["status"])
+
+    def fin(v):
+        v = float(v)
+        return None if (v != v or abs(v) == float("inf")) else v
+
+    s = np.asarray(raw["s"])
+    z = np.asarray(raw["z"])
+    return {
+        "status": STATUS_STRINGS.get(status, "unknown"),
+        "x": raw["x"], "y": raw["y"],
+        "snl": s[:mnl], "sl": s[mnl:],
+        "znl": z[:mnl], "zl": z[mnl:],
+        "gap": fin(raw["gap"]),
+        "relative gap": fin(raw["relgap"]),
+        "primal objective": fin(raw["pcost"]),
+        "dual objective": fin(raw["dcost"]),
+        "primal infeasibility": fin(raw["pres"]),
+        "dual infeasibility": fin(raw["dres"]),
+        "primal slack": fin(raw["primal_slack"]),
+        "dual slack": fin(raw["dual_slack"]),
+        "iterations": int(raw["iterations"]),
+    }
+
+
+def _opts(options):
+    from cvxopt_tpu.solvers import options as global_options
+    opts = dict(global_options)
+    if options:
+        opts.update(options)
+    return opts
+
+
+def cpl(c, F, x0, G=None, h=None, dims=None, A=None, b=None,
+        kktsolver=None, options=None):
+    """Solve min c'x s.t. F(x) <= 0 (componentwise, convex), Gx+s=h,
+    Ax=b (cvxprog.py:35).  `F` is a pure JAX function R^n -> R^mnl
+    (NaN outside its domain); `x0` must be strictly in the domain."""
+    opts = _opts(options)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    c = jnp.asarray(c, dtype=dtype).reshape(-1)
+    x0 = jnp.asarray(x0, dtype=dtype).reshape(-1)
+    n = c.shape[0]
+    mnl = int(jax.eval_shape(F, x0).shape[0])
+    if not bool(jnp.all(jnp.isfinite(F(x0)))):
+        # reference: F() must return a point in the domain of f
+        # (cvxprog.py:68-75)
+        raise ValueError("x0 must be in the domain of F")
+    G, h, dims, A, b = _prep_nl(G, h, dims, A, b, n, mnl, dtype)
+    core = make_cpl(
+        dims, F,
+        kktsolver=kktsolver or "default",
+        maxiters=int(opts.get("maxiters", 100)),
+        abstol=float(opts.get("abstol", 1e-7)),
+        reltol=float(opts.get("reltol", 1e-6)),
+        feastol=float(opts.get("feastol", 1e-7)),
+        refinement=int(opts.get("refinement", 1)),
+        kktreg=opts.get("kktreg", None),
+        show_progress=bool(opts.get("show_progress", False)),
+    )
+    raw = core(c, x0, G, h, A, b)
+    return _nl_result(raw, mnl)
+
+
+def cp(F, x0, G=None, h=None, dims=None, A=None, b=None,
+       kktsolver=None, options=None):
+    """Solve min f0(x) s.t. fk(x) <= 0, Gx+s=h, Ax=b (cvxprog.py:1359).
+
+    `F` is a pure JAX function R^n -> R^(1+mnl); F(x)[0] is the
+    objective.  Epigraph reduction (cvxprog.py:1746-1964): minimize t
+    s.t. f0(x) - t <= 0, fk(x) <= 0 over the variable [x; t]."""
+    opts = _opts(options)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x0 = jnp.asarray(x0, dtype=dtype).reshape(-1)
+    n = x0.shape[0]
+    m_all = int(jax.eval_shape(F, x0).shape[0])
+    mnl = m_all  # f0 becomes the epigraph constraint f0(x) - t <= 0
+
+    def Fe(xt):
+        v = F(xt[:n])
+        return v.at[0].add(-xt[n])
+
+    ce = jnp.zeros(n + 1, dtype).at[n].set(1.0)
+    x0e = jnp.concatenate([x0, F(x0)[:1] + 1.0])
+
+    if G is None and h is None:
+        Ge = None
+        he = None
+    else:
+        G_ = jnp.asarray(G, dtype=dtype).reshape(-1, n)
+        Ge = jnp.concatenate(
+            [G_, jnp.zeros((G_.shape[0], 1), dtype)], axis=1)
+        he = h
+    if A is not None:
+        A_ = jnp.asarray(A, dtype=dtype).reshape(-1, n)
+        Ae = jnp.concatenate(
+            [A_, jnp.zeros((A_.shape[0], 1), dtype)], axis=1)
+    else:
+        Ae = None
+
+    sol = cpl(ce, Fe, x0e, Ge, he, dims, Ae, b, kktsolver=kktsolver,
+              options=options)
+    if sol["x"] is not None:
+        x_full = np.asarray(sol["x"])
+        sol["x"] = x_full[:n]
+        sol["primal objective"] = float(
+            np.asarray(F(jnp.asarray(x_full[:n])))[0]
+        ) if sol["status"] == "optimal" else sol["primal objective"]
+    return sol
+
+
+def gp(K, F, g, G=None, h=None, A=None, b=None, options=None):
+    """Geometric program in convex form (cvxprog.py:1967):
+
+        minimize    lse(F[0] x + g[0])
+        subject to  lse(F[k] x + g[k]) <= 0,  k = 1..mnl
+                    G x <= h,  A x = b
+
+    where lse(u) = log sum exp(u) and the rows of F/entries of g are
+    partitioned by K (K[i] terms for posynomial i).  Uses the
+    stabilized softmax form (cvxprog.py:2102-2153) via
+    jax.nn.logsumexp."""
+    import jax.nn
+
+    K = [int(k) for k in K]
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Fm = jnp.asarray(F, dtype=dtype)
+    gv = jnp.asarray(g, dtype=dtype).reshape(-1)
+    n = Fm.shape[1]
+    starts = np.cumsum([0] + K)
+
+    def Fe(x):
+        u = Fm @ x + gv
+        return jnp.stack([
+            jax.nn.logsumexp(u[int(starts[i]):int(starts[i + 1])])
+            for i in range(len(K))
+        ])
+
+    x0 = jnp.zeros(n, dtype)
+    return cp(Fe, x0, G, h, None, A, b, options=options)
