@@ -22,6 +22,15 @@ Architecture differences from the reference (deliberate, TPU-first):
   - LAPACK factorizations become XLA/Pallas batched factorizations
     (kkt.py).
 
+Advanced API (coneprog.py:286-402 customization levels):
+  - `G`/`A` may be `linops.LinearOperator`s instead of matrices
+    (requires a custom kktsolver, as in the reference);
+  - `kktsolver` may be a callable ``kktsolver(W) -> solve`` with
+    ``solve(bx, by, bz) -> (ux, uy, W uz)`` — the same 3x3 contract as
+    misc.py:1069-1071, as pure JAX functions.  W is the run-stacked
+    scaling dict (see scaling.py);
+  - `primalstart` / `dualstart` warm starts (coneprog.py:107-118).
+
 Status codes: 0 optimal, 1 primal infeasible, 2 dual infeasible,
 3 unknown (maxiters), 4 unknown (singular KKT).
 """
@@ -39,6 +48,7 @@ from cvxopt_tpu import cones
 from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu import scaling as nt
 from cvxopt_tpu import kkt as kktmod
+from cvxopt_tpu.linops import LinearOperator
 
 STATUS_RUNNING = -1
 STATUS_OPTIMAL = 0
@@ -60,6 +70,332 @@ STEP = 0.99
 EXPON = 3
 
 
+def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
+                  n, p, dtype, maxiters, abstol, reltol, feastol,
+                  refinement, show_progress, primalstart=None,
+                  dualstart=None):
+    """The conelp algorithm with all linear maps abstracted as closures
+    (coneprog.py:31-1437).  Pure; call inside jit."""
+    e = cones.cone_identity(dims, dtype=dtype)
+    e_lq = e[:dims.lnl + dims.qdim]
+
+    resx0 = jnp.maximum(1.0, jnp.linalg.norm(c))
+    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
+    resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
+
+    # ---- initial points (coneprog.py:662-845) ------------------------
+    if primalstart is None or dualstart is None:
+        Wid = nt.identity_scaling(dims, dtype=dtype)
+        f0 = factor(Wid)
+
+    if primalstart is None:
+        # solve [0 A' G'; A 0 0; G 0 -I][x;dy;-s] = [0;b;h]
+        x, _, ms = f0(jnp.zeros(n, dtype), b, h)
+        s = -ms
+        nrms = cones.snrm2(s, dims)
+        ts = cones.max_step(s, dims)
+        s = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
+                      s + (1.0 + ts) * e, s)
+    else:
+        x = jnp.asarray(primalstart["x"], dtype=dtype)
+        s = jnp.asarray(primalstart["s"], dtype=dtype)
+
+    if dualstart is None:
+        # solve [...][dx;y;z] = [-c;0;0]
+        _, y, z = f0(-c, jnp.zeros(p, dtype), jnp.zeros(dims.cdim, dtype))
+        nrmz = cones.snrm2(z, dims)
+        tz = cones.max_step(z, dims)
+        z = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
+                      z + (1.0 + tz) * e, z)
+    else:
+        y = jnp.asarray(dualstart.get("y", jnp.zeros(p, dtype)),
+                        dtype=dtype)
+        z = jnp.asarray(dualstart["z"], dtype=dtype)
+
+    tau = jnp.asarray(1.0, dtype)
+    kappa = jnp.asarray(1.0, dtype)
+    W, lmbda = nt.compute_scaling(s, z, dims)
+    dg = jnp.asarray(1.0, dtype)     # sqrt(kappa/tau)
+    lg = jnp.asarray(1.0, dtype)     # lambda_g = sqrt(tau*kappa)
+    gap = cones.sdot(s, z, dims)
+
+    nan = jnp.asarray(jnp.nan, dtype)
+    state = dict(
+        x=x, y=y, s=s, z=z, tau=tau, kappa=kappa, W=W, lmbda=lmbda,
+        dg=dg, lg=lg, gap=gap,
+        iters=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(STATUS_RUNNING, jnp.int32),
+        pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
+        pinfres=nan, dinfres=nan, cx=nan, by=nan, hz=nan,
+    )
+
+    def _iteration(x, y, s, z, tau, kappa, W, lmbda, dg, lg,
+                   rx, ry, rz, rt):
+        dgi = 1.0 / dg
+        lmbdasq = cones.ssqr(lmbda, dims)
+        lgsq = lg * lg
+
+        f3 = factor(W)
+
+        # (x1, y1, z1) = dgi * K^{-1} (-c, b, h)  (coneprog.py:1071)
+        x1, y1, z1 = f3(-c, b, h)
+        x1, y1, z1 = dgi * x1, dgi * y1, dgi * z1
+        th = nt.scale(h, W, dims, trans="T", inverse="I")
+        z1z1 = cones.sdot(z1, z1, dims)
+
+        def f6_no_ir(bx, by_, bz, btau, bs, bkappa):
+            # (coneprog.py:1130-1196)
+            uy = -by_
+            us = -cones.sinv(bs, lmbda, dims)
+            uz = -(bz + nt.scale(us, W, dims, trans="T"))
+            ux, uy, uz = f3(bx, uy, uz)
+            ukappa = -bkappa / lg
+            utau = btau + ukappa / dgi
+            utau = dgi * (utau + jnp.dot(c, ux) + jnp.dot(b, uy)
+                          + cones.sdot(th, uz, dims)) / (1.0 + z1z1)
+            ux = ux + utau * x1
+            uy = uy + utau * y1
+            uz = uz + utau * z1
+            us = us - uz
+            ukappa = ukappa - utau
+            return ux, uy, uz, utau, us, ukappa
+
+        def resid6(ux, uy, uz, utau, us, ukappa,
+                   vx, vy, vz, vtau, vs, vkappa):
+            # residual of the 6-var system (coneprog.py:599-631)
+            wz3 = nt.scale(uz, W, dims, inverse="I")
+            vx = vx - ATf(uy) - GTf(wz3) - c * (utau / dg)
+            vy = vy + Af(ux) - b * (utau / dg)
+            ws3_ = nt.scale(us, W, dims, trans="T")
+            vz = vz + Gf(ux) - h * (utau / dg) + ws3_
+            vtau = vtau + dg * ukappa + jnp.dot(c, ux) \
+                + jnp.dot(b, uy) + cones.sdot(h, wz3, dims)
+            vs = vs + cones.sprod_diag(us + uz, lmbda, dims)
+            vkappa = vkappa + lg * (utau + ukappa)
+            return vx, vy, vz, vtau, vs, vkappa
+
+        def f6(bx, by_, bz, btau, bs, bkappa):
+            u = f6_no_ir(bx, by_, bz, btau, bs, bkappa)
+            for _ in range(refinement):
+                v = resid6(*u, bx, by_, bz, btau, bs, bkappa)
+                du = f6_no_ir(*v)
+                u = tuple(a + d for a, d in zip(u, du))
+            return u
+
+        mu = jnp.sum(lmbda * lmbda) + lgsq
+        mu = mu / (1 + dims.cdim_diag)
+
+        lmbdasq_full = cones.diag_embed(lmbdasq, dims)
+
+        # ---- predictor (i=0, coneprog.py:1250-1333) ------------------
+        ds_in = lmbdasq_full
+        dk_in = lgsq
+        dx, dy, dz, dtau, ds, dkappa = f6(rx, ry, rz, rt, ds_in, dk_in)
+        ws3 = cones.sprod(ds, dz, dims)
+        wkappa3 = dtau * dkappa
+        ds_sc = nt.scale2(lmbda, ds, dims)
+        dz_sc = nt.scale2(lmbda, dz, dims)
+        ts = cones.max_step(ds_sc, dims)
+        tz = cones.max_step(dz_sc, dims)
+        tt = -dtau / lg
+        tk = -dkappa / lg
+        t = jnp.maximum(
+            jnp.maximum(jnp.maximum(ts, tz), jnp.maximum(tt, tk)), 0.0)
+        step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, 1.0 / t))
+        sigma = (1.0 - step) ** EXPON
+
+        # ---- corrector (i=1) -----------------------------------------
+        ds_in = lmbdasq_full + ws3 - sigma * mu * e
+        dk_in = lgsq + wkappa3 - sigma * mu
+        dx, dy, dz, dtau, ds, dkappa = f6(
+            (1.0 - sigma) * rx, (1.0 - sigma) * ry, (1.0 - sigma) * rz,
+            (1.0 - sigma) * rt, ds_in, dk_in)
+        ds_sc = nt.scale2(lmbda, ds, dims)
+        dz_sc = nt.scale2(lmbda, dz, dims)
+        ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
+        tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
+        tt = -dtau / lg
+        tk = -dkappa / lg
+        t = jnp.maximum(
+            jnp.maximum(jnp.maximum(ts, tz), jnp.maximum(tt, tk)), 0.0)
+        step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, STEP / t))
+
+        # ---- update (coneprog.py:1336-1436) --------------------------
+        x = x + step * dx
+        y = y + step * dy
+
+        nlq = dims.lnl + dims.qdim
+        ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
+        dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
+        ds2 = nt.scale2(lmbda, ds2, dims, inverse="I")
+        dz2 = nt.scale2(lmbda, dz2, dims, inverse="I")
+
+        if dims.s:
+            lam_s = lmbda[nlq:]
+            sig_s = (1.0 + step * sigs) / lam_s
+            sig_z = (1.0 + step * sigz) / lam_s
+            for run in dims.s_runs:
+                off, doff, cnt, m = run
+                i0 = doff - nlq
+                cs = jnp.sqrt(sig_s[i0:i0 + cnt * m]).reshape(cnt, m)
+                cz = jnp.sqrt(sig_z[i0:i0 + cnt * m]).reshape(cnt, m)
+                Vs = cones.sview(ds2, run) * cs[..., None, :]
+                Vz = cones.sview(dz2, run) * cz[..., None, :]
+                ds2 = ds2.at[off:off + cnt * m * m].set(Vs.reshape(-1))
+                dz2 = dz2.at[off:off + cnt * m * m].set(Vz.reshape(-1))
+
+        W2, lmbda2 = nt.update_scaling(W, lmbda, ds2, dz2, dims)
+
+        dg2 = dg * jnp.sqrt(1.0 - step * tk) / jnp.sqrt(1.0 - step * tt)
+        dgi2 = 1.0 / dg2
+        lg2 = lg * jnp.sqrt(1.0 - step * tt) * jnp.sqrt(1.0 - step * tk)
+
+        # unscale s, z from lambda (coneprog.py:1413-1433)
+        lam_full = cones.diag_embed(lmbda2, dims)
+        s2 = nt.scale(lam_full, W2, dims, trans="T")
+        z2 = nt.scale(lam_full, W2, dims, inverse="I")
+
+        kappa2 = lg2 / dgi2
+        tau2 = lg2 * dgi2
+        gap2 = (jnp.linalg.norm(lmbda2) / tau2) ** 2
+        return (x, y, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2, gap2)
+
+    def cond(st):
+        return st["status"] == STATUS_RUNNING
+
+    def body(st):
+        x, y, s, z = st["x"], st["y"], st["s"], st["z"]
+        tau, kappa = st["tau"], st["kappa"]
+        W, lmbda = st["W"], st["lmbda"]
+        dg, lg, gap = st["dg"], st["lg"], st["gap"]
+        iters = st["iters"]
+
+        # ---- residuals (coneprog.py:861-915) -------------------------
+        hrx = -ATf(y) - GTf(z)
+        hresx = jnp.linalg.norm(hrx)
+        rx = hrx - c * tau
+        resx = jnp.linalg.norm(rx) / tau
+        hry = Af(x)
+        hresy = jnp.linalg.norm(hry)
+        ry = hry - b * tau
+        resy = jnp.linalg.norm(ry) / tau
+        hrz = Gf(x) + s
+        hresz = cones.snrm2(hrz, dims)
+        rz = hrz - h * tau
+        resz = cones.snrm2(rz, dims) / tau
+        cx = jnp.dot(c, x)
+        by = jnp.dot(b, y)
+        hz = cones.sdot(h, z, dims)
+        rt = kappa + cx + by + hz
+
+        pcost = cx / tau
+        dcost = -(by + hz) / tau
+        inf = jnp.asarray(jnp.inf, dtype)
+        relgap = jnp.where(
+            pcost < 0.0, gap / -pcost,
+            jnp.where(dcost > 0.0, gap / dcost, inf))
+        pres = jnp.maximum(resy / resy0, resz / resz0)
+        dres = resx / resx0
+        pinfres = jnp.where(hz + by < 0.0,
+                            hresx / resx0 / (-hz - by), inf)
+        dinfres = jnp.where(
+            cx < 0.0,
+            jnp.maximum(hresy / resy0, hresz / resz0) / (-cx), inf)
+
+        if show_progress:
+            jax.debug.print(
+                "{i:2d}: {pc: 8.4e} {dc: 8.4e} {g: 4.0e} {pr:7.0e} "
+                "{dr:7.0e} {kt:7.0e}",
+                i=iters, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres,
+                kt=kappa / tau)
+
+        # ---- exit tests (coneprog.py:925-1023) -----------------------
+        optimal = ((pres <= feastol) & (dres <= feastol)
+                   & ((gap <= abstol) | (relgap <= reltol)))
+        maxed = iters >= maxiters
+        pinf = pinfres <= feastol
+        dinf = dinfres <= feastol
+        new_status = jnp.where(
+            optimal, STATUS_OPTIMAL,
+            jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
+                      jnp.where(pinf, STATUS_PRIMAL_INFEASIBLE,
+                                jnp.where(dinf, STATUS_DUAL_INFEASIBLE,
+                                          STATUS_RUNNING))))
+        new_status = new_status.astype(jnp.int32)
+        exiting = new_status != STATUS_RUNNING
+
+        stats = dict(pcost=pcost, dcost=dcost, relgap=relgap,
+                     pres=pres, dres=dres, pinfres=pinfres,
+                     dinfres=dinfres, cx=cx, by=by, hz=hz)
+
+        # one IPM step (runs unconditionally; discarded when exiting —
+        # under vmap this is the coasting path)
+        upd = _iteration(x, y, s, z, tau, kappa, W, lmbda, dg, lg,
+                         rx, ry, rz, rt)
+        (x2, y2, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2, gap2) = upd
+
+        ok = (jnp.isfinite(gap2) & jnp.isfinite(tau2)
+              & jnp.isfinite(jnp.sum(lmbda2)))
+        new_status = jnp.where(exiting, new_status,
+                               jnp.where(ok, STATUS_RUNNING,
+                                         STATUS_UNKNOWN_SINGULAR))
+        keep = exiting | ~ok
+
+        def sel(a, bnew):
+            return jax.tree_util.tree_map(
+                lambda u, v: jnp.where(keep, u, v), a, bnew)
+
+        out = dict(st)
+        out.update(stats)
+        out["status"] = new_status
+        out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
+        out["x"] = sel(x, x2)
+        out["y"] = sel(y, y2)
+        out["s"] = sel(s, s2)
+        out["z"] = sel(z, z2)
+        out["tau"] = sel(tau, tau2)
+        out["kappa"] = sel(kappa, kappa2)
+        out["W"] = sel(W, W2)
+        out["lmbda"] = sel(lmbda, lmbda2)
+        out["dg"] = sel(dg, dg2)
+        out["lg"] = sel(lg, lg2)
+        out["gap"] = sel(gap, gap2)
+        return out
+
+    final = lax.while_loop(cond, body, state)
+
+    # ---- finalization (coneprog.py:925-1023 per-branch scalings) -----
+    status = final["status"]
+    tau, cx, by, hz = final["tau"], final["cx"], final["by"], final["hz"]
+    xs = jnp.where(status == STATUS_DUAL_INFEASIBLE, -1.0 / cx,
+                   1.0 / tau)
+    ys = jnp.where(status == STATUS_PRIMAL_INFEASIBLE,
+                   1.0 / (-hz - by), 1.0 / tau)
+    x_out = final["x"] * xs
+    s_out = final["s"] * xs
+    y_out = final["y"] * ys
+    z_out = final["z"] * ys
+    ts = cones.max_step(s_out, dims)
+    tz = cones.max_step(z_out, dims)
+    return dict(
+        x=x_out, y=y_out, s=s_out, z=z_out,
+        status=status, iterations=final["iters"],
+        gap=final["gap"], relgap=final["relgap"],
+        pcost=final["pcost"], dcost=final["dcost"],
+        pres=final["pres"], dres=final["dres"],
+        pinfres=final["pinfres"], dinfres=final["dinfres"],
+        primal_slack=-ts, dual_slack=-tz,
+    )
+
+
+def _resolve_opts(dims, kktsolver, refinement):
+    if refinement is None:
+        refinement = 1 if (dims.q or dims.s) else 0
+    if kktsolver == "default" or kktsolver is None:
+        kktsolver = "chol" if (dims.q or dims.s) else "chol2"
+    return kktsolver, refinement
+
+
 @functools.lru_cache(maxsize=128)
 def make_conelp(dims: ConeDims, kktsolver: str = "default",
                 maxiters: int = 100, abstol: float = 1e-7,
@@ -69,401 +405,148 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
                 show_progress: bool = False):
     """Build the jitted conelp core for a fixed cone structure.
 
-    Returns f(c, G, h, A, b) -> dict of result arrays.  The returned
-    function is cached per `dims`+options and jit-compiled per argument
-    shapes, so repeated solves of the same problem class pay tracing
-    once (the vmap/pjit entry point for batched solving).
+    Returns f(c, G, h, A, b) -> dict of result arrays.  Cached per
+    `dims`+options and jit-compiled per argument shapes — the
+    vmap/pjit entry point for batched solving.
     """
-    if refinement is None:
-        refinement = 1 if (dims.q or dims.s) else 0
-    if kktsolver == "default":
-        # reference: 'qr' if q/s else 'chol2' (coneprog.py:458-462);
-        # the robust full-system path here is kkt_lu.
-        kktsolver = "chol" if (dims.q or dims.s) else "chol2"
-
-    e = None  # built lazily with the right dtype
+    kktsolver, refinement = _resolve_opts(dims, kktsolver, refinement)
 
     def core(c, G, h, A, b):
-        n = c.shape[0]
-        p = A.shape[0]
-        dtype = c.dtype
-        e = cones.cone_identity(dims, dtype=dtype)
-        e_lq = e[:dims.lnl + dims.qdim]
-
-        factor = kktmod.get_kktsolver(kktsolver, G, dims, A, kktreg=kktreg)
-
-        resx0 = jnp.maximum(1.0, jnp.linalg.norm(c))
-        resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
-        resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
-
-        # ---- initial points (coneprog.py:662-845) --------------------
-        Wid = nt.identity_scaling(dims, dtype=dtype)
-        f0 = factor(Wid)
-        # primal: solve [0 A' G'; A 0 0; G 0 -I][x;dy;-s] = [0;b;h]
-        x, _, ms = f0(jnp.zeros(n, dtype), b, h)
-        s = -ms
-        # dual: solve [...][dx;y;z] = [-c;0;0]
-        _, y, z = f0(-c, jnp.zeros(p, dtype), jnp.zeros(dims.cdim, dtype))
-
-        nrms = cones.snrm2(s, dims)
-        ts = cones.max_step(s, dims)
-        shift_s = ts >= -1e-8 * jnp.maximum(nrms, 1.0)
-        s = jnp.where(shift_s, s + (1.0 + ts) * e, s)
-
-        nrmz = cones.snrm2(z, dims)
-        tz = cones.max_step(z, dims)
-        shift_z = tz >= -1e-8 * jnp.maximum(nrmz, 1.0)
-        z = jnp.where(shift_z, z + (1.0 + tz) * e, z)
-
-        tau = jnp.asarray(1.0, dtype)
-        kappa = jnp.asarray(1.0, dtype)
-        W, lmbda = nt.compute_scaling(s, z, dims)
-        dg = jnp.asarray(1.0, dtype)     # sqrt(kappa/tau)
-        lg = jnp.asarray(1.0, dtype)     # lambda_g = sqrt(tau*kappa)
-        gap = cones.sdot(s, z, dims)
-
-        nan = jnp.asarray(jnp.nan, dtype)
-        state = dict(
-            x=x, y=y, s=s, z=z, tau=tau, kappa=kappa, W=W, lmbda=lmbda,
-            dg=dg, lg=lg, gap=gap,
-            iters=jnp.asarray(0, jnp.int32),
-            status=jnp.asarray(STATUS_RUNNING, jnp.int32),
-            pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
-            pinfres=nan, dinfres=nan, cx=nan, by=nan, hz=nan,
-        )
-
-        def cond(st):
-            return st["status"] == STATUS_RUNNING
-
-        def body(st):
-            x, y, s, z = st["x"], st["y"], st["s"], st["z"]
-            tau, kappa = st["tau"], st["kappa"]
-            W, lmbda = st["W"], st["lmbda"]
-            dg, lg, gap = st["dg"], st["lg"], st["gap"]
-            dgi = 1.0 / dg
-            iters = st["iters"]
-
-            # ---- residuals (coneprog.py:861-915) ---------------------
-            hrx = -(A.T @ y) - (G.T @ z)
-            hresx = jnp.linalg.norm(hrx)
-            rx = hrx - c * tau
-            resx = jnp.linalg.norm(rx) / tau
-            hry = A @ x
-            hresy = jnp.linalg.norm(hry)
-            ry = hry - b * tau
-            resy = jnp.linalg.norm(ry) / tau
-            hrz = G @ x + s
-            hresz = cones.snrm2(hrz, dims)
-            rz = hrz - h * tau
-            resz = cones.snrm2(rz, dims) / tau
-            cx = jnp.dot(c, x)
-            by = jnp.dot(b, y)
-            hz = cones.sdot(h, z, dims)
-            rt = kappa + cx + by + hz
-
-            pcost = cx / tau
-            dcost = -(by + hz) / tau
-            inf = jnp.asarray(jnp.inf, dtype)
-            relgap = jnp.where(
-                pcost < 0.0, gap / -pcost,
-                jnp.where(dcost > 0.0, gap / dcost, inf))
-            pres = jnp.maximum(resy / resy0, resz / resz0)
-            dres = resx / resx0
-            pinfres = jnp.where(hz + by < 0.0,
-                                hresx / resx0 / (-hz - by), inf)
-            dinfres = jnp.where(
-                cx < 0.0,
-                jnp.maximum(hresy / resy0, hresz / resz0) / (-cx), inf)
-
-            if show_progress:
-                jax.debug.print(
-                    "{i:2d}: {pc: 8.4e} {dc: 8.4e} {g: 4.0e} {pr:7.0e} "
-                    "{dr:7.0e} {kt:7.0e}",
-                    i=iters, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres,
-                    kt=kappa / tau)
-
-            # ---- exit tests (coneprog.py:925-1023) -------------------
-            optimal = ((pres <= feastol) & (dres <= feastol)
-                       & ((gap <= abstol) | (relgap <= reltol)))
-            maxed = iters >= maxiters
-            pinf = pinfres <= feastol
-            dinf = dinfres <= feastol
-            new_status = jnp.where(
-                optimal, STATUS_OPTIMAL,
-                jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
-                          jnp.where(pinf, STATUS_PRIMAL_INFEASIBLE,
-                                    jnp.where(dinf, STATUS_DUAL_INFEASIBLE,
-                                              STATUS_RUNNING))))
-            new_status = new_status.astype(jnp.int32)
-            exiting = new_status != STATUS_RUNNING
-
-            stats = dict(pcost=pcost, dcost=dcost, relgap=relgap,
-                         pres=pres, dres=dres, pinfres=pinfres,
-                         dinfres=dinfres, cx=cx, by=by, hz=hz)
-
-            # ---- one IPM step (runs unconditionally; discarded when
-            # exiting — under vmap this is the coasting path) ----------
-            upd = _iteration(x, y, s, z, tau, kappa, W, lmbda, dg, lg,
-                             rx, ry, rz, rt)
-            (x2, y2, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2,
-             gap2) = upd
-
-            ok = (jnp.isfinite(gap2) & jnp.isfinite(tau2)
-                  & jnp.isfinite(jnp.sum(lmbda2)))
-            new_status = jnp.where(exiting, new_status,
-                                   jnp.where(ok, STATUS_RUNNING,
-                                             STATUS_UNKNOWN_SINGULAR))
-            keep = exiting | ~ok
-
-            def sel(a, bnew):
-                return jax.tree_util.tree_map(
-                    lambda u, v: jnp.where(keep, u, v), a, bnew)
-
-            out = dict(st)
-            out.update(stats)
-            out["status"] = new_status
-            out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
-            out["x"] = sel(x, x2)
-            out["y"] = sel(y, y2)
-            out["s"] = sel(s, s2)
-            out["z"] = sel(z, z2)
-            out["tau"] = sel(tau, tau2)
-            out["kappa"] = sel(kappa, kappa2)
-            out["W"] = sel(W, W2)
-            out["lmbda"] = sel(lmbda, lmbda2)
-            out["dg"] = sel(dg, dg2)
-            out["lg"] = sel(lg, lg2)
-            out["gap"] = sel(gap, gap2)
-            return out
-
-        def _iteration(x, y, s, z, tau, kappa, W, lmbda, dg, lg,
-                       rx, ry, rz, rt):
-            dgi = 1.0 / dg
-            lmbdasq = cones.ssqr(lmbda, dims)
-            lgsq = lg * lg
-
-            f3 = factor(W)
-
-            # (x1, y1, z1) = dgi * K^{-1} (-c, b, h)  (coneprog.py:1071)
-            x1, y1, z1 = f3(-c, b, h)
-            x1, y1, z1 = dgi * x1, dgi * y1, dgi * z1
-            th = nt.scale(h, W, dims, trans="T", inverse="I")
-            z1z1 = cones.sdot(z1, z1, dims)
-
-            def f6_no_ir(bx, by_, bz, btau, bs, bkappa):
-                # (coneprog.py:1130-1196)
-                uy = -by_
-                us = -cones.sinv(bs, lmbda, dims)
-                uz = -(bz + nt.scale(us, W, dims, trans="T"))
-                ux, uy, uz = f3(bx, uy, uz)
-                ukappa = -bkappa / lg
-                utau = btau + ukappa / dgi
-                utau = dgi * (utau + jnp.dot(c, ux) + jnp.dot(b, uy)
-                              + cones.sdot(th, uz, dims)) / (1.0 + z1z1)
-                ux = ux + utau * x1
-                uy = uy + utau * y1
-                uz = uz + utau * z1
-                us = us - uz
-                ukappa = ukappa - utau
-                return ux, uy, uz, utau, us, ukappa
-
-            def resid6(ux, uy, uz, utau, us, ukappa,
-                       vx, vy, vz, vtau, vs, vkappa):
-                # residual of the 6-var system (coneprog.py:599-631)
-                wz3 = nt.scale(uz, W, dims, inverse="I")
-                vx = vx - A.T @ uy - G.T @ wz3 - c * (utau / dg)
-                vy = vy + A @ ux - b * (utau / dg)
-                ws3_ = nt.scale(us, W, dims, trans="T")
-                vz = vz + G @ ux - h * (utau / dg) + ws3_
-                vtau = vtau + dg * ukappa + jnp.dot(c, ux) \
-                    + jnp.dot(b, uy) + cones.sdot(h, wz3, dims)
-                vs = vs + cones.sprod_diag(us + uz, lmbda, dims)
-                vkappa = vkappa + lg * (utau + ukappa)
-                return vx, vy, vz, vtau, vs, vkappa
-
-            def f6(bx, by_, bz, btau, bs, bkappa):
-                u = f6_no_ir(bx, by_, bz, btau, bs, bkappa)
-                for _ in range(refinement):
-                    v = resid6(*u, bx, by_, bz, btau, bs, bkappa)
-                    du = f6_no_ir(*v)
-                    u = tuple(a + d for a, d in zip(u, du))
-                return u
-
-            mu = jnp.sum(lmbda * lmbda) + lgsq
-            mu = mu / (1 + dims.cdim_diag)
-
-            lmbdasq_full = cones.diag_embed(lmbdasq, dims)
-
-            # ---- predictor (i=0, coneprog.py:1250-1333) --------------
-            ds_in = lmbdasq_full
-            dk_in = lgsq
-            dx, dy = (1.0) * rx, (1.0) * ry
-            dz_, dt_ = rz, rt
-            dx, dy, dz, dtau, ds, dkappa = f6(dx, dy, dz_, dt_, ds_in,
-                                              dk_in)
-            ws3 = cones.sprod(ds, dz, dims)
-            wkappa3 = dtau * dkappa
-            ds_sc = nt.scale2(lmbda, ds, dims)
-            dz_sc = nt.scale2(lmbda, dz, dims)
-            ts = cones.max_step(ds_sc, dims)
-            tz = cones.max_step(dz_sc, dims)
-            tt = -dtau / lg
-            tk = -dkappa / lg
-            t = jnp.maximum(
-                jnp.maximum(jnp.maximum(ts, tz), jnp.maximum(tt, tk)),
-                0.0)
-            step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, 1.0 / t))
-            sigma = (1.0 - step) ** EXPON
-
-            # ---- corrector (i=1) -------------------------------------
-            ds_in = lmbdasq_full + ws3 - sigma * mu * e
-            dk_in = lgsq + wkappa3 - sigma * mu
-            dx = (1.0 - sigma) * rx
-            dy = (1.0 - sigma) * ry
-            dz_ = (1.0 - sigma) * rz
-            dt_ = (1.0 - sigma) * rt
-            dx, dy, dz, dtau, ds, dkappa = f6(dx, dy, dz_, dt_, ds_in,
-                                              dk_in)
-            ds_sc = nt.scale2(lmbda, ds, dims)
-            dz_sc = nt.scale2(lmbda, dz, dims)
-            ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
-            tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
-            tt = -dtau / lg
-            tk = -dkappa / lg
-            t = jnp.maximum(
-                jnp.maximum(jnp.maximum(ts, tz), jnp.maximum(tt, tk)),
-                0.0)
-            step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, STEP / t))
-
-            # ---- update (coneprog.py:1336-1436) ----------------------
-            x = x + step * dx
-            y = y + step * dy
-
-            nlq = dims.lnl + dims.qdim
-            ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
-            dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
-            ds2 = nt.scale2(lmbda, ds2, dims, inverse="I")
-            dz2 = nt.scale2(lmbda, dz2, dims, inverse="I")
-
-            if dims.s:
-                lam_s = lmbda[nlq:]
-                sig_s = (1.0 + step * sigs) / lam_s
-                sig_z = (1.0 + step * sigz) / lam_s
-                for run in dims.s_runs:
-                    off, doff, cnt, m = run
-                    i0 = doff - nlq
-                    cs = jnp.sqrt(sig_s[i0:i0 + cnt * m]).reshape(cnt, m)
-                    cz = jnp.sqrt(sig_z[i0:i0 + cnt * m]).reshape(cnt, m)
-                    Vs = cones.sview(ds2, run) * cs[..., None, :]
-                    Vz = cones.sview(dz2, run) * cz[..., None, :]
-                    ds2 = ds2.at[off:off + cnt * m * m].set(
-                        Vs.reshape(-1))
-                    dz2 = dz2.at[off:off + cnt * m * m].set(
-                        Vz.reshape(-1))
-
-            W2, lmbda2 = nt.update_scaling(W, lmbda, ds2, dz2, dims)
-
-            dg2 = dg * jnp.sqrt(1.0 - step * tk) / \
-                jnp.sqrt(1.0 - step * tt)
-            dgi2 = 1.0 / dg2
-            lg2 = lg * jnp.sqrt(1.0 - step * tt) * \
-                jnp.sqrt(1.0 - step * tk)
-
-            # unscale s, z from lambda (coneprog.py:1413-1433)
-            lam_full = cones.diag_embed(lmbda2, dims)
-            s2 = nt.scale(lam_full, W2, dims, trans="T")
-            z2 = nt.scale(lam_full, W2, dims, inverse="I")
-
-            kappa2 = lg2 / dgi2
-            tau2 = lg2 * dgi2
-            gap2 = (jnp.linalg.norm(lmbda2) / tau2) ** 2
-            return (x, y, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2,
-                    gap2)
-
-        final = lax.while_loop(cond, body, state)
-
-        # ---- finalization (coneprog.py:925-1023 per-branch scalings) -
-        status = final["status"]
-        tau, cx, by, hz = final["tau"], final["cx"], final["by"], \
-            final["hz"]
-        xs = jnp.where(status == STATUS_DUAL_INFEASIBLE, -1.0 / cx,
-                       1.0 / tau)
-        ys = jnp.where(status == STATUS_PRIMAL_INFEASIBLE,
-                       1.0 / (-hz - by), 1.0 / tau)
-        x_out = final["x"] * xs
-        s_out = final["s"] * xs
-        y_out = final["y"] * ys
-        z_out = final["z"] * ys
-        ts = cones.max_step(s_out, dims)
-        tz = cones.max_step(z_out, dims)
-        return dict(
-            x=x_out, y=y_out, s=s_out, z=z_out,
-            status=status, iterations=final["iters"],
-            gap=final["gap"], relgap=final["relgap"],
-            pcost=final["pcost"], dcost=final["dcost"],
-            pres=final["pres"], dres=final["dres"],
-            pinfres=final["pinfres"], dinfres=final["dinfres"],
-            primal_slack=-ts, dual_slack=-tz,
-        )
+        factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                      kktreg=kktreg)
+        return _conelp_solve(
+            dims, factor=factor,
+            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
+            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
+            maxiters=maxiters, abstol=abstol, reltol=reltol,
+            feastol=feastol, refinement=refinement,
+            show_progress=show_progress)
 
     return jax.jit(core)
 
 
-def _prep_inputs(c, G, h, dims, A, b, dtype=None):
+def _prep_inputs(c, G, h, dims, A, b, dtype=None, allow_ops=False):
     c = jnp.asarray(c)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     c = c.astype(dtype).reshape(-1)
     n = c.shape[0]
-    G = jnp.asarray(G, dtype=dtype).reshape(-1, n)
+    G_is_op = isinstance(G, LinearOperator) or callable(G)
+    A_is_op = isinstance(A, LinearOperator) or (A is not None
+                                                and callable(A))
+    if (G_is_op or A_is_op) and not allow_ops:
+        raise ValueError("use of operator-form G/A requires a "
+                         "user-provided kktsolver")
     h = jnp.asarray(h, dtype=dtype).reshape(-1)
-    if A is None:
-        A = jnp.zeros((0, n), dtype=dtype)
-    else:
-        A = jnp.asarray(A, dtype=dtype).reshape(-1, n)
-    if b is None:
-        b = jnp.zeros((A.shape[0],), dtype=dtype)
-    else:
-        b = jnp.asarray(b, dtype=dtype).reshape(-1)
     if dims is None:
         dims = ConeDims(l=h.shape[0])
     elif isinstance(dims, dict):
         dims = ConeDims.from_dict(dims)
     if h.shape[0] != dims.cdim:
         raise TypeError(f"'h' must have length {dims.cdim}")
-    if G.shape[0] != dims.cdim:
-        raise TypeError(f"'G' must have {dims.cdim} rows")
-    if b.shape[0] != A.shape[0]:
-        raise TypeError("'b' must have length equal to rows of A")
-    # 's' rows: only lower triangles are semantically meaningful
-    # (reference trisc semantics, misc.py:768); symmetrize once on entry.
+    if not G_is_op:
+        G = jnp.asarray(G, dtype=dtype).reshape(-1, n)
+        if G.shape[0] != dims.cdim:
+            raise TypeError(f"'G' must have {dims.cdim} rows")
+        # 's' rows: only (column-major) lower triangles are meaningful
+        G = jnp.swapaxes(
+            cones.symmetrize_lower(jnp.swapaxes(G, 0, 1), dims), 0, 1)
+    if A is None:
+        A = jnp.zeros((0, n), dtype=dtype)
+        A_is_op = False
+    elif not A_is_op:
+        A = jnp.asarray(A, dtype=dtype).reshape(-1, n)
+    if b is None:
+        p = 0 if A_is_op else A.shape[0]
+        b = jnp.zeros((p,), dtype=dtype)
+    else:
+        b = jnp.asarray(b, dtype=dtype).reshape(-1)
     h = cones.symmetrize_lower(h, dims)
-    G = jnp.swapaxes(
-        cones.symmetrize_lower(jnp.swapaxes(G, 0, 1), dims), 0, 1)
     return c, G, h, dims, A, b
 
 
-def conelp(c, G, h, dims=None, A=None, b=None, kktsolver=None,
-           options=None, **kwargs):
+def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
+           dualstart=None, kktsolver=None, options=None, **kwargs):
     """Solve a cone LP; returns the reference-format result dict
     (coneprog.py:125-283)."""
     from cvxopt_tpu.solvers import options as global_options
     opts = dict(global_options)
     if options:
         opts.update(options)
-    c, G, h, dims, A, b = _prep_inputs(c, G, h, dims, A, b)
-    fn = make_conelp(
-        dims,
-        kktsolver=kktsolver or "default",
-        maxiters=int(opts.get("maxiters", 100)),
-        abstol=float(opts.get("abstol", 1e-7)),
-        reltol=float(opts.get("reltol", 1e-6)),
-        feastol=float(opts.get("feastol", 1e-7)),
-        refinement=opts.get("refinement", None),
-        kktreg=opts.get("kktreg", None),
-        show_progress=bool(opts.get("show_progress", False)),
-    )
-    raw = fn(c, G, h, A, b)
+    custom_kkt = callable(kktsolver)
+    c, G, h, dims, A, b = _prep_inputs(c, G, h, dims, A, b,
+                                       allow_ops=custom_kkt)
+    maxiters = int(opts.get("maxiters", 100))
+    abstol = float(opts.get("abstol", 1e-7))
+    reltol = float(opts.get("reltol", 1e-6))
+    feastol = float(opts.get("feastol", 1e-7))
+    show_progress = bool(opts.get("show_progress", False))
+    refinement = opts.get("refinement", None)
+
+    if not custom_kkt and primalstart is None and dualstart is None:
+        fn = make_conelp(
+            dims, kktsolver=kktsolver or "default", maxiters=maxiters,
+            abstol=abstol, reltol=reltol, feastol=feastol,
+            refinement=refinement, kktreg=opts.get("kktreg", None),
+            show_progress=show_progress)
+        raw = fn(c, G, h, A, b)
+        return finalize_result(raw, dims)
+
+    # ---- advanced path: custom kktsolver / operators / warm starts ---
+    dtype = c.dtype
+    if isinstance(G, LinearOperator):
+        Gf, GTf = G.mv, G.rmv
+    elif callable(G):
+        Gf, GTf = (lambda x: G(x, "N")), (lambda z: G(z, "T"))
+    else:
+        Gf, GTf = (lambda x: G @ x), (lambda z: G.T @ z)
+    if isinstance(A, LinearOperator):
+        Af, ATf, p = A.mv, A.rmv, A.shape[0]
+    elif callable(A):
+        Af, ATf, p = (lambda x: A(x, "N")), (lambda y: A(y, "T")), \
+            b.shape[0]
+    else:
+        Af, ATf, p = (lambda x: A @ x), (lambda y: A.T @ y), A.shape[0]
+
+    if custom_kkt:
+        factor = kktsolver
+    else:
+        kname, _ = _resolve_opts(dims, kktsolver, refinement)
+        factor = kktmod.get_kktsolver(kname, G, dims, A,
+                                      kktreg=opts.get("kktreg", None))
+    _, refinement = _resolve_opts(dims, "default", refinement)
+
+    if primalstart is not None:
+        ps = {"x": jnp.asarray(primalstart["x"], dtype=dtype
+                               ).reshape(-1),
+              "s": cones.symmetrize_lower(
+                  jnp.asarray(primalstart["s"], dtype=dtype
+                              ).reshape(-1), dims)}
+        if float(cones.max_step(ps["s"], dims)) >= 0:
+            raise ValueError("initial s is not positive")
+    else:
+        ps = None
+    if dualstart is not None:
+        ds = {"z": cones.symmetrize_lower(
+            jnp.asarray(dualstart["z"], dtype=dtype).reshape(-1), dims)}
+        if "y" in dualstart:
+            ds["y"] = jnp.asarray(dualstart["y"], dtype=dtype
+                                  ).reshape(-1)
+        if float(cones.max_step(ds["z"], dims)) >= 0:
+            raise ValueError("initial z is not positive")
+    else:
+        ds = None
+
+    def run():
+        return _conelp_solve(
+            dims, factor=factor, Gf=Gf, GTf=GTf, Af=Af, ATf=ATf,
+            c=c, h=h, b=b, n=c.shape[0], p=p, dtype=dtype,
+            maxiters=maxiters, abstol=abstol, reltol=reltol,
+            feastol=feastol, refinement=refinement,
+            show_progress=show_progress, primalstart=ps, dualstart=ds)
+
+    raw = jax.jit(run)()
     return finalize_result(raw, dims)
 
 

@@ -1,0 +1,151 @@
+"""The advanced-API contract: operator-form G + custom kktsolver +
+warm starts, mirroring /root/reference/tests/test_custom_kkt.py and
+examples/doc/chap8/l1.py.
+
+The l1 approximation problem  minimize ||P u - q||_1  is solved as the
+LP  min [0;1]'[u;v] s.t. [P,-I;-P,-I][u;v] <= [q;-q]  twice: once with
+dense G and the default KKT solver, once with an operator-form G and a
+custom kktsolver exploiting the normal-equations structure (reducing
+the 2m x (n+m) KKT system to an n x n Cholesky).  Results must agree.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvxopt_tpu import solvers
+from cvxopt_tpu.cones import ConeDims
+from cvxopt_tpu.linops import LinearOperator
+
+
+def make_l1_data(m=80, n=25, seed=0):
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((m, n))
+    q = rng.standard_normal(m)
+    return jnp.asarray(P), jnp.asarray(q)
+
+
+def l1_dense(P, q):
+    m, n = P.shape
+    c = np.concatenate([np.zeros(n), np.ones(m)])
+    I = np.eye(m)
+    G = np.block([[np.asarray(P), -I], [-np.asarray(P), -I]])
+    h = np.concatenate([np.asarray(q), -np.asarray(q)])
+    return solvers.conelp(c, G, h)
+
+
+def l1_custom(P, q):
+    """Operator G + custom kktsolver (examples/doc/chap8/l1.py) with
+    least-squares warm starts."""
+    m, n = P.shape
+    c = jnp.concatenate([jnp.zeros(n), jnp.ones(m)])
+    h = jnp.concatenate([q, -q])
+
+    def mv(x):
+        u = P @ x[:n]
+        return jnp.concatenate([u - x[n:], -u - x[n:]])
+
+    def rmv(z):
+        return jnp.concatenate(
+            [P.T @ (z[:m] - z[m:]), -(z[:m] + z[m:])])
+
+    G = LinearOperator(mv=mv, rmv=rmv, shape=(2 * m, n + m))
+
+    def Fkkt(W):
+        # Solves [0 G'; G -W'W] [x; z] = [bx; bz] via an n x n
+        # Cholesky of 4 P' D P (l1.py:47-97), returning (ux, uy, W uz).
+        di = W["di"]
+        d1 = di[:m] ** 2
+        d2 = di[m:] ** 2
+        D = d1 * d2 / (d1 + d2)
+        A = 4.0 * (P.T * D) @ P
+        L = jnp.linalg.cholesky(A)
+
+        def solve(bx, by, bz):
+            r = bx[:n] + P.T @ ((d1 - d2) / (d1 + d2) * bx[n:]
+                                + 2.0 * D * (bz[:m] - bz[m:]))
+            w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+            xu = jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+            u = P @ xu
+            xv = (bx[n:] - d1 * bz[:m] - d2 * bz[m:]
+                  + (d1 - d2) * u) / (d1 + d2)
+            z1 = di[:m] * (u - xv - bz[:m])
+            z2 = di[m:] * (-u - xv - bz[m:])
+            return (jnp.concatenate([xu, xv]), by,
+                    jnp.concatenate([z1, z2]))
+
+        return solve
+
+    # warm starts from the least-squares solution (l1.py:100-116)
+    uls, *_ = jnp.linalg.lstsq(P, q)
+    rls = P @ uls - q
+    x0 = jnp.concatenate([uls, 1.1 * jnp.abs(rls)])
+    s0 = h - mv(x0)
+    w = jnp.where(jnp.max(jnp.abs(rls)) > 1e-10,
+                  0.9 / jnp.max(jnp.abs(rls)) * rls, 0.0)
+    z0 = jnp.concatenate([0.5 * (1 + w), 0.5 * (1 - w)])
+
+    return solvers.conelp(
+        c, G, h, dims={"l": 2 * m, "q": [], "s": []}, kktsolver=Fkkt,
+        primalstart={"x": x0, "s": s0}, dualstart={"z": z0})
+
+
+def test_l1_custom_matches_dense():
+    P, q = make_l1_data()
+    m, n = P.shape
+    sol_a = l1_dense(P, q)
+    sol_b = l1_custom(P, q)
+    assert sol_a["status"] == "optimal"
+    assert sol_b["status"] == "optimal"
+    # reference cross-checks to 3 decimals (test_custom_kkt.py:11-20)
+    np.testing.assert_allclose(np.asarray(sol_a["x"])[:n],
+                               np.asarray(sol_b["x"])[:n], atol=1e-3)
+    # dual feasibility: P' w = 0 for w = z2 - z1 (test_examples l1)
+    z = np.asarray(sol_b["z"])
+    wd = z[m:] - z[:m]
+    np.testing.assert_allclose(np.asarray(P).T @ wd, np.zeros(n),
+                               atol=1e-5)
+
+
+def test_warm_start_reduces_iterations():
+    """primalstart/dualstart (coneprog.py:107-118) should help."""
+    P, q = make_l1_data(seed=3)
+    sol_cold = l1_dense(P, q)
+    sol_warm = l1_custom(P, q)
+    assert sol_warm["iterations"] <= sol_cold["iterations"] + 2
+
+
+def test_operator_without_kkt_raises():
+    P, q = make_l1_data()
+    m, n = P.shape
+    G = LinearOperator(mv=lambda x: x, rmv=lambda x: x,
+                       shape=(n + m, n + m))
+    with pytest.raises(ValueError):
+        solvers.conelp(jnp.zeros(n + m), G, jnp.zeros(n + m))
+
+
+def test_custom_kkt_qp_l1regls():
+    """l1-regularized least squares QP with a custom KKT solver
+    (examples/doc/chap8/l1regls.py pattern, via coneqp path): here we
+    just verify the dense path solves it and satisfies optimality."""
+    rng = np.random.default_rng(5)
+    m, n = 30, 12
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    lam = 1.0
+    # min ||Ax-b||^2 + lam*||x||_1 as QP in (x, t):
+    P = np.zeros((2 * n, 2 * n))
+    P[:n, :n] = 2 * A.T @ A
+    q = np.concatenate([-2 * A.T @ b, lam * np.ones(n)])
+    I = np.eye(n)
+    G = np.block([[I, -I], [-I, -I]])
+    h = np.zeros(2 * n)
+    sol = solvers.coneqp(P, q, G, h)
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])[:n]
+    # subgradient optimality of the l1 problem
+    g = 2 * A.T @ (A @ x - b)
+    on = np.abs(x) > 1e-6
+    assert np.max(np.abs(g[on] + lam * np.sign(x[on]))) < 1e-4
+    assert np.max(np.abs(g[~on])) <= lam + 1e-4
