@@ -38,9 +38,10 @@ def coneqp_np(P, q, G, h, A=None, b=None, maxiters=100, abstol=1e-7,
     resy0 = max(1.0, np.linalg.norm(b))
     resz0 = max(1.0, np.linalg.norm(h))
 
-    def factor(d2):
-        # S = P + G' diag(d2) G;  K = A S^{-1} A'
-        S = P + (G.T * d2) @ G
+    def factor(d):
+        # W = diag(d); S = P + G' W^{-2} G;  K = A S^{-1} A'
+        D = 1.0 / (d * d)
+        S = P + (G.T * D) @ G
         cS = sla.cho_factor(S, lower=True)
         if p:
             SiAT = sla.cho_solve(cS, A.T)
@@ -49,16 +50,16 @@ def coneqp_np(P, q, G, h, A=None, b=None, maxiters=100, abstol=1e-7,
             cK = None
 
         def solve(bx, by, bz):
-            # returns ux, uy, uz of
-            # [P A' G'; A 0 0; G 0 -W'W] [ux,uy,uz] = [bx,by,bz]
-            r = bx + G.T @ (d2 * bz)
+            # solves [P A' G'; A 0 0; G 0 -W'W][ux,uy,uz] = [bx,by,bz],
+            # returning (ux, uy, W uz)
+            r = bx + G.T @ (D * bz)
             if p:
                 uy = sla.cho_solve(cK, A @ sla.cho_solve(cS, r) - by)
                 ux = sla.cho_solve(cS, r - A.T @ uy)
             else:
                 uy = by
                 ux = sla.cho_solve(cS, r)
-            uz = d2 * (G @ ux - bz)
+            uz = (G @ ux - bz) / d
             return ux, uy, uz
 
         return solve
@@ -98,7 +99,7 @@ def coneqp_np(P, q, G, h, A=None, b=None, maxiters=100, abstol=1e-7,
             return dict(x=x, y=y, s=s, z=z, status="unknown",
                         iterations=iters, gap=gap)
 
-        f3 = factor(W * W)
+        f3 = factor(W)
         lsq = lmbda * lmbda
         mu = gap / m
 
