@@ -77,6 +77,8 @@ def bench_tpu(nb, n, dtype, tol, maxiters=50):
         total_iters += int(np.asarray(out["iterations"]).sum())
         reps += 1
         dt = time.time() - t0
+        if os.environ.get("BENCH_DEBUG"):
+            print(f"  rep {reps}: cumulative {dt:.3f}s", file=sys.stderr)
     dt = dt / reps
 
     status = np.asarray(out["status"])
