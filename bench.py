@@ -46,50 +46,69 @@ def make_batch(nb, n, dtype=np.float64, seed=0):
 
 def bench_tpu(nb, n, dtype, tol, maxiters=50):
     import jax
+    import jax.numpy as jnp
     from cvxopt_tpu.cones import ConeDims
     from cvxopt_tpu.coneqp import make_coneqp
 
     dims = ConeDims(l=2 * n)
     core = make_coneqp(dims, maxiters=maxiters, abstol=tol, reltol=tol,
                        feastol=tol)
-    vf = jax.jit(jax.vmap(core))
 
-    args = make_batch(nb, n, dtype=dtype)
-    args = [jax.device_put(a) for a in args]
-    # several q variants so every timed run is a distinct computation
-    # (identical repeat executions can be served from a cache)
-    qvars = [jax.device_put(args[1] * (1.0 + 1e-3 * (k + 1)))
-             for k in range(8)]
+    # Problem data is generated ON DEVICE inside the jitted program
+    # from a scalar seed: the remote-execution path ships input buffers
+    # per request, so host-side batches would measure the tunnel, not
+    # the TPU; a scalar input also makes every rep a distinct
+    # computation (identical requests can be served from a cache).
+    I = jnp.eye(n, dtype=dtype)
+    G1 = jnp.concatenate([-I, I], axis=0)
+    h1 = jnp.concatenate([jnp.zeros(n, dtype), jnp.ones(n, dtype)])
+    A1 = jnp.ones((1, n), dtype=dtype)
+    b1 = jnp.ones((1,), dtype=dtype)
 
-    # compile
+    def gen(key):
+        kF, kq = jax.random.split(key)
+        F = jax.random.normal(kF, (n, n // 4), dtype) / jnp.sqrt(
+            jnp.asarray(n, dtype))
+        P = F @ F.T + 0.1 * I
+        q = -jax.random.uniform(kq, (n,), dtype, 0.0, 0.1)
+        return P, q
+
+    def run(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), nb)
+        P, q = jax.vmap(gen)(keys)
+        out = jax.vmap(lambda Pk, qk: core(Pk, qk, G1, h1, A1, b1))(
+            P, q)
+        return (out["status"], out["iterations"],
+                jnp.max(out["relgap"]))
+
+    run = jax.jit(run)
+
     t0 = time.time()
-    out = vf(*args)
-    jax.block_until_ready(out)
+    st, it, rg = run(0)
+    jax.block_until_ready((st, it, rg))
     compile_and_first = time.time() - t0
 
-    # timed: repeat distinct problems until >= 2 s measured
-    reps, dt, total_iters = 0, 0.0, 0
+    reps, dt, total_iters, solved = 0, 0.0, 0, 0
     t0 = time.time()
     while dt < 2.0 and reps < 16:
-        q_k = qvars[reps % len(qvars)]
-        out = vf(args[0], q_k, *args[2:])
-        jax.block_until_ready(out)
-        total_iters += int(np.asarray(out["iterations"]).sum())
+        st, it, rg = run(reps + 1)
+        jax.block_until_ready((st, it, rg))
+        total_iters += int(np.asarray(it).sum())
+        solved += int((np.asarray(st) == 0).sum())
         reps += 1
         dt = time.time() - t0
         if os.environ.get("BENCH_DEBUG"):
-            print(f"  rep {reps}: cumulative {dt:.3f}s", file=sys.stderr)
+            print(f"  rep {reps}: cumulative {dt:.3f}s",
+                  file=sys.stderr)
     dt = dt / reps
 
-    status = np.asarray(out["status"])
-    gaps = np.asarray(out["relgap"])
     return dict(
         time_s=dt,
         compile_s=compile_and_first,
         total_iters=total_iters,
-        solved=int((status == 0).sum()),
-        nb=nb,
-        max_relgap=float(np.nanmax(gaps)),
+        solved=solved,
+        nb=nb * reps,
+        max_relgap=float(np.asarray(rg)),
         iters_per_s=float(total_iters / reps / dt),
         backend=jax.devices()[0].platform,
         device=str(jax.devices()[0]),

@@ -24,7 +24,26 @@ from cvxopt_tpu import cones
 from cvxopt_tpu import scaling
 from cvxopt_tpu import kkt
 from cvxopt_tpu import solvers
+from cvxopt_tpu import modeling
+from cvxopt_tpu import mpsio
+from cvxopt_tpu import base
+from cvxopt_tpu.linops import LinearOperator, aslinearoperator
+
+# reference top-level API (src/python/__init__.py:86-291)
+from cvxopt_tpu.base import (
+    matrix, spmatrix, sparse, spdiag, exp, log, sqrt, sin, cos, mul,
+    div, emin, emax,
+)
+from cvxopt_tpu.utils.rng import normal, uniform, setseed, getseed
+from cvxopt_tpu.utils import printing
 
 __version__ = "0.1.0"
 
-__all__ = ["ConeDims", "cones", "scaling", "kkt", "solvers", "__version__"]
+__all__ = [
+    "ConeDims", "cones", "scaling", "kkt", "solvers", "modeling",
+    "mpsio", "base", "LinearOperator", "aslinearoperator",
+    "matrix", "spmatrix", "sparse", "spdiag", "exp", "log", "sqrt",
+    "sin", "cos", "mul", "div", "emin", "emax",
+    "normal", "uniform", "setseed", "getseed", "printing",
+    "__version__",
+]

@@ -1,0 +1,162 @@
+"""Matrix substrate helpers — cvxopt.base equivalents.
+
+The reference's dense `matrix` / sparse `spmatrix` C types
+(src/C/dense.c, sparse.c) are replaced by jnp arrays (the array-first
+design, SURVEY.md §7); this module provides the constructors and the
+typed elementwise functions the reference exports at package top level
+(src/python/__init__.py:283-291, src/C/base.c:1945-1970):
+
+  matrix(data, size)   cvxopt-compatible constructor: nested lists are
+                       COLUMNS, flat data fills column-major
+  spmatrix(V, I, J)    triplet sparse constructor -> BCOO
+  sparse(blocks)       block assembly / sparsification
+  spdiag(values)       (block-)diagonal matrix
+  exp log sqrt sin cos elementwise math
+  mul div emin emax    elementwise products/quotients/extrema
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import sparse as jxs
+
+
+def matrix(data, size=None, tc=None):
+    """cvxopt.matrix-compatible constructor (dense.c:514-603): nested
+    sequences are COLUMNS; flat data fills column-major; scalars with a
+    size broadcast."""
+    dtype = {None: None, "d": jnp.float64, "i": jnp.int32,
+             "z": jnp.complex128}[tc]
+    if isinstance(data, (list, tuple)) and data and \
+            isinstance(data[0], (list, tuple, np.ndarray, jnp.ndarray)):
+        # nested sequences: each entry is a column (1-D) or a column
+        # block (2-D), concatenated horizontally — cvxopt semantics
+        blocks = []
+        for c in data:
+            a = np.asarray(c, dtype=float)
+            blocks.append(a.reshape(-1, 1) if a.ndim < 2 else a)
+        X = np.concatenate(blocks, axis=1)
+    elif np.isscalar(data):
+        if size is None:
+            size = (1, 1)
+        X = np.full(size, data, dtype=float)
+    else:
+        a = np.asarray(data)
+        if size is not None:
+            X = a.reshape(size, order="F")
+        else:
+            X = a.reshape(-1, 1) if a.ndim == 1 else a
+    out = jnp.asarray(X)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def spmatrix(V, I, J, size=None, tc=None):
+    """Triplet sparse constructor (sparse.c:2640) -> BCOO."""
+    I = np.asarray(I, dtype=np.int32).reshape(-1)
+    J = np.asarray(J, dtype=np.int32).reshape(-1)
+    V = np.broadcast_to(np.asarray(V, dtype=float).reshape(-1),
+                        I.shape)
+    if size is None:
+        size = (int(I.max()) + 1 if I.size else 0,
+                int(J.max()) + 1 if J.size else 0)
+    idx = np.stack([I, J], axis=1)
+    return jxs.BCOO((jnp.asarray(V), jnp.asarray(idx)), shape=size)
+
+
+def sparse(blocks, tc=None):
+    """Sparsify a dense matrix, or assemble a block matrix from nested
+    lists of blocks (base.c:979): sparse([[B11, B21], [B12, B22]])
+    where inner lists are block COLUMNS."""
+    if isinstance(blocks, (list, tuple)):
+        cols = []
+        for colblocks in blocks:
+            if not isinstance(colblocks, (list, tuple)):
+                colblocks = [colblocks]
+            cols.append(jnp.concatenate(
+                [_dense2(B) for B in colblocks], axis=0))
+        D = jnp.concatenate(cols, axis=1)
+    else:
+        D = _dense2(blocks)
+    return jxs.BCOO.fromdense(D)
+
+
+def spdiag(values):
+    """(Block-)diagonal sparse matrix (base.c:1071): a vector gives a
+    diagonal matrix; a list of matrices gives a block-diagonal one."""
+    if isinstance(values, (list, tuple)) and values and \
+            np.asarray(values[0]).ndim == 2:
+        mats = [np.asarray(v) for v in values]
+        n = sum(m.shape[0] for m in mats)
+        D = np.zeros((n, n))
+        off = 0
+        for m in mats:
+            k = m.shape[0]
+            D[off:off + k, off:off + k] = m
+            off += k
+        return jxs.BCOO.fromdense(jnp.asarray(D))
+    v = jnp.asarray(values).reshape(-1)
+    return jxs.BCOO.fromdense(jnp.diag(v))
+
+
+def _dense2(B):
+    if hasattr(B, "todense"):
+        B = B.todense()
+    B = jnp.asarray(B, dtype=float)
+    return B.reshape(-1, 1) if B.ndim == 1 else B
+
+
+# ---- elementwise math (base.c: exp/log/sqrt/sin/cos, emul/ediv,
+#      emin/emax) ------------------------------------------------------
+
+def exp(x):
+    return jnp.exp(_as(x))
+
+
+def log(x):
+    return jnp.log(_as(x))
+
+
+def sqrt(x):
+    return jnp.sqrt(_as(x))
+
+
+def sin(x):
+    return jnp.sin(_as(x))
+
+
+def cos(x):
+    return jnp.cos(_as(x))
+
+
+def mul(*args):
+    out = _as(args[0])
+    for a in args[1:]:
+        out = out * _as(a)
+    return out
+
+
+def div(x, y):
+    return _as(x) / _as(y)
+
+
+def emin(*args):
+    out = _as(args[0])
+    for a in args[1:]:
+        out = jnp.minimum(out, _as(a))
+    return out
+
+
+def emax(*args):
+    out = _as(args[0])
+    for a in args[1:]:
+        out = jnp.maximum(out, _as(a))
+    return out
+
+
+def _as(x):
+    if hasattr(x, "todense"):
+        x = x.todense()
+    return jnp.asarray(x)

@@ -1,0 +1,180 @@
+"""Sparse direct-solver API — cvxopt.cholmod / umfpack / amd
+equivalents (reference: src/C/cholmod.c:273-1028, umfpack.c:121-461,
+amd.c:226).
+
+TPU-native stance (SURVEY.md §7 "sparse story"): TPUs have no gather-
+heavy supernodal path, so these entry points provide the reference's
+API shape — symbolic/numeric factorization handles, solve/spsolve,
+one-shot linsolve, fill-reducing ordering — backed by dense batched
+factorizations on device.  Matrices may be given dense, as
+`jax.experimental.sparse.BCOO`, or as scipy.sparse; they are densified
+for factorization.  Block-sparse Pallas factorizations are the planned
+upgrade path for large structured problems.
+
+`amd.order` runs on the host (orderings are preprocessing, exactly as
+in the reference where AMD is a host-side C routine).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+options = {"supernodal": 2, "print": 0, "nmethods": 0, "postorder": True,
+           "dbound": 0.0}
+
+
+def _dense(A):
+    if hasattr(A, "todense"):          # BCOO / scipy.sparse
+        return jnp.asarray(np.asarray(A.todense()))
+    if hasattr(A, "toarray"):
+        return jnp.asarray(A.toarray())
+    return jnp.asarray(A)
+
+
+# ---- cholmod-like ----------------------------------------------------
+
+@dataclass
+class CholSymbolic:
+    n: int
+    perm: Optional[np.ndarray]
+
+
+@dataclass
+class CholFactor:
+    L: jnp.ndarray
+    perm: Optional[np.ndarray]
+
+
+def symbolic(A, p=None, uplo="L") -> CholSymbolic:
+    """Symbolic analysis (cholmod.symbolic, cholmod.c:273).  With dense
+    factorization the analysis reduces to recording the ordering."""
+    A = _dense(A)
+    return CholSymbolic(n=A.shape[-1], perm=None if p is None
+                        else np.asarray(p))
+
+
+def numeric(A, symb: CholSymbolic, uplo="L") -> CholFactor:
+    """Numeric Cholesky (cholmod.numeric, cholmod.c:364)."""
+    A = _dense(A)
+    A = jnp.tril(A) + jnp.swapaxes(jnp.tril(A, -1), -1, -2) \
+        if uplo == "L" else \
+        jnp.triu(A) + jnp.swapaxes(jnp.triu(A, 1), -1, -2)
+    if symb.perm is not None:
+        p = symb.perm
+        A = A[..., p, :][..., :, p]
+    return CholFactor(L=jnp.linalg.cholesky(A), perm=symb.perm)
+
+
+def solve(F: CholFactor, B, sys: int = 0):
+    """Solve using the factor (cholmod.solve, cholmod.c:479).
+
+    sys: 0 -> A x = b; 4 -> L x = b; 5 -> L' x = b (the systems the
+    reference's kkt_chol2 uses; other sys codes of CHOLMOD's LDL
+    interface are not applicable to an LL' factorization)."""
+    B = _dense(B)
+    if F.perm is not None and sys == 0:
+        B = B[..., F.perm, :] if B.ndim > 1 else B[..., F.perm]
+    if sys == 4:
+        X = jsl.solve_triangular(F.L, B, lower=True)
+    elif sys == 5:
+        X = jsl.solve_triangular(jnp.swapaxes(F.L, -1, -2), B,
+                                 lower=False)
+    else:
+        X = jsl.solve_triangular(F.L, B, lower=True)
+        X = jsl.solve_triangular(jnp.swapaxes(F.L, -1, -2), X,
+                                 lower=False)
+    if F.perm is not None and sys == 0:
+        inv = np.argsort(F.perm)
+        X = X[..., inv, :] if X.ndim > 1 else X[..., inv]
+    return X
+
+
+def linsolve(A, B, p=None, uplo="L"):
+    """One-shot solve (cholmod.linsolve, cholmod.c:685)."""
+    return solve(numeric(A, symbolic(A, p), uplo), B)
+
+
+def splinsolve(A, B, p=None, uplo="L"):
+    return linsolve(A, B, p, uplo)
+
+
+def diag(F: CholFactor):
+    """Diagonal of the factor (cholmod.diag, cholmod.c:969)."""
+    return jnp.diagonal(F.L, axis1=-2, axis2=-1)
+
+
+def getfactor(F: CholFactor):
+    return F.L
+
+
+# ---- umfpack-like ----------------------------------------------------
+
+@dataclass
+class LUSymbolic:
+    n: int
+
+
+@dataclass
+class LUFactor:
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+
+
+def lu_symbolic(A) -> LUSymbolic:
+    """umfpack.symbolic (umfpack.c:270)."""
+    return LUSymbolic(n=_dense(A).shape[-1])
+
+
+def lu_numeric(A, symb: LUSymbolic) -> LUFactor:
+    """umfpack.numeric (umfpack.c:344)."""
+    lu, piv = jsl.lu_factor(_dense(A))
+    return LUFactor(lu=lu, piv=piv)
+
+
+def lu_solve(F: LUFactor, B, trans="N"):
+    """umfpack.solve (umfpack.c:461)."""
+    t = {"N": 0, "T": 1, "C": 2}[trans]
+    return jsl.lu_solve((F.lu, F.piv), _dense(B), trans=t)
+
+
+def lu_linsolve(A, B):
+    """umfpack.linsolve (umfpack.c:121)."""
+    return lu_solve(lu_numeric(A, lu_symbolic(A)), B)
+
+
+# ---- amd-like --------------------------------------------------------
+
+def amd_order(A):
+    """Approximate-minimum-degree-style fill-reducing ordering
+    (amd.order, amd.c:226).  Host-side greedy minimum-degree on the
+    symmetrized sparsity pattern."""
+    import scipy.sparse as sp
+    if hasattr(A, "todense") or sp.issparse(A):
+        S = sp.csr_matrix(A if sp.issparse(A)
+                          else np.asarray(A.todense()))
+    else:
+        S = sp.csr_matrix(np.asarray(A) != 0)
+    S = ((S + S.T) != 0).tolil()
+    n = S.shape[0]
+    deg = np.array([len(r) for r in S.rows])
+    alive = np.ones(n, bool)
+    order = []
+    adj = [set(r) - {i} for i, r in enumerate(S.rows)]
+    for _ in range(n):
+        cand = np.where(alive)[0]
+        v = cand[np.argmin(deg[cand])]
+        order.append(v)
+        alive[v] = False
+        nb = [u for u in adj[v] if alive[u]]
+        for u in nb:
+            adj[u].discard(v)
+            for w in nb:
+                if w != u and w not in adj[u]:
+                    adj[u].add(w)
+            deg[u] = sum(1 for t in adj[u] if alive[t])
+    return np.array(order)

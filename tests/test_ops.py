@@ -1,0 +1,244 @@
+"""Tests for the numeric kernel layer (ops.blas / ops.lapack /
+ops.spsolve) and utilities (fft, rng, printing, base constructors) —
+the cvxopt.blas/lapack/cholmod/umfpack/amd/fftw/gsl/printing API
+surface (SURVEY.md §2.2-2.4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cvxopt_tpu.ops import blas, lapack, spsolve
+from cvxopt_tpu.utils import fft, rng, printing
+from cvxopt_tpu import base
+
+
+RNG = np.random.default_rng(0)
+
+
+def randpsd(n, seed=0):
+    r = np.random.default_rng(seed)
+    F = r.standard_normal((n, n))
+    return F @ F.T + n * np.eye(n)
+
+
+# ---- blas ------------------------------------------------------------
+
+def test_blas_level1():
+    x = jnp.asarray(RNG.standard_normal(7))
+    y = jnp.asarray(RNG.standard_normal(7))
+    np.testing.assert_allclose(blas.dot(x, y), np.dot(x, y), rtol=1e-12)
+    np.testing.assert_allclose(blas.nrm2(x), np.linalg.norm(x),
+                               rtol=1e-12)
+    np.testing.assert_allclose(blas.asum(x), np.abs(x).sum(),
+                               rtol=1e-12)
+    assert int(blas.iamax(x)) == int(np.argmax(np.abs(x)))
+    np.testing.assert_allclose(blas.axpy(x, y, 2.0), 2 * x + y,
+                               rtol=1e-12)
+
+
+def test_blas_iamax_reference_case():
+    """Mirrors tests/test_blas.py of the reference."""
+    x = jnp.asarray([1.0, -2.0, 3.0, -4.0])
+    assert int(blas.iamax(x)) == 3
+
+
+def test_blas_level2():
+    A = jnp.asarray(RNG.standard_normal((5, 4)))
+    x4 = jnp.asarray(RNG.standard_normal(4))
+    x5 = jnp.asarray(RNG.standard_normal(5))
+    np.testing.assert_allclose(blas.gemv(A, x4), A @ x4, rtol=1e-12)
+    np.testing.assert_allclose(blas.gemv(A, x5, trans="T"), A.T @ x5,
+                               rtol=1e-12)
+    S = jnp.asarray(randpsd(4))
+    np.testing.assert_allclose(blas.symv(jnp.tril(S), x4), S @ x4,
+                               rtol=1e-12)
+    T = jnp.tril(jnp.asarray(RNG.standard_normal((4, 4)))) + 4 * \
+        jnp.eye(4)
+    np.testing.assert_allclose(blas.trmv(T, x4), T @ x4, rtol=1e-12)
+    np.testing.assert_allclose(blas.trsv(T, T @ x4), x4, rtol=1e-9)
+    np.testing.assert_allclose(blas.ger(x5, x4), np.outer(x5, x4),
+                               rtol=1e-12)
+
+
+def test_blas_level3():
+    A = jnp.asarray(RNG.standard_normal((4, 3)))
+    B = jnp.asarray(RNG.standard_normal((3, 5)))
+    np.testing.assert_allclose(blas.gemm(A, B), A @ B, rtol=1e-12)
+    np.testing.assert_allclose(blas.syrk(A), A @ A.T, rtol=1e-12)
+    np.testing.assert_allclose(blas.syrk(A, trans="T"), A.T @ A,
+                               rtol=1e-12)
+    C = jnp.asarray(RNG.standard_normal((4, 3)))
+    np.testing.assert_allclose(blas.syr2k(A, C),
+                               A @ C.T + C @ A.T, rtol=1e-12)
+    T = jnp.tril(jnp.asarray(RNG.standard_normal((4, 4)))) + \
+        4 * jnp.eye(4)
+    X = jnp.asarray(RNG.standard_normal((4, 5)))
+    np.testing.assert_allclose(blas.trmm(T, X), T @ X, rtol=1e-12)
+    np.testing.assert_allclose(blas.trsm(T, T @ X), X, rtol=1e-9)
+    np.testing.assert_allclose(
+        blas.trsm(T, X.T @ T, side="R"), X.T, rtol=1e-9)
+
+
+# ---- lapack ----------------------------------------------------------
+
+def test_lapack_cholesky():
+    A = jnp.asarray(randpsd(6))
+    B = jnp.asarray(RNG.standard_normal((6, 2)))
+    L = lapack.potrf(A)
+    np.testing.assert_allclose(L @ L.T, A, rtol=1e-9)
+    X = lapack.potrs(L, B)
+    np.testing.assert_allclose(A @ X, B, rtol=1e-8)
+    Ainv = lapack.potri(L)
+    np.testing.assert_allclose(A @ Ainv, np.eye(6), atol=1e-8)
+
+
+def test_lapack_lu_sytrf():
+    A = jnp.asarray(RNG.standard_normal((5, 5)))
+    b = jnp.asarray(RNG.standard_normal(5))
+    f, x = lapack.gesv(A, b)
+    np.testing.assert_allclose(A @ x, b, rtol=1e-8, atol=1e-10)
+    S = jnp.asarray(randpsd(5)) - 10 * jnp.eye(5)   # indefinite
+    f = lapack.sytrf(jnp.tril(S))
+    x = lapack.sytrs(f, b)
+    np.testing.assert_allclose(S @ x, b, rtol=1e-8, atol=1e-10)
+
+
+def test_lapack_qr_eig_svd():
+    A = jnp.asarray(RNG.standard_normal((6, 4)))
+    Q, R = lapack.geqrf(A)
+    np.testing.assert_allclose(Q @ R, A, rtol=1e-9, atol=1e-10)
+    x = lapack.gels(A, jnp.asarray(RNG.standard_normal(6)))
+    assert x.shape == (4,)
+    S = jnp.asarray(randpsd(5))
+    w, V = lapack.syev(jnp.tril(S))
+    np.testing.assert_allclose(V @ jnp.diag(w) @ V.T, S, rtol=1e-8)
+    w2 = lapack.syevr(jnp.tril(S), jobz="N", il=1, iu=1)
+    np.testing.assert_allclose(w2, w[:1], rtol=1e-10)
+    U, sv, Vt = lapack.gesvd(A)
+    np.testing.assert_allclose(U @ jnp.diag(sv) @ Vt, A, rtol=1e-8,
+                               atol=1e-10)
+    # generalized symmetric-definite
+    B = jnp.asarray(randpsd(5, seed=7))
+    w3, V3 = lapack.sygv(jnp.tril(S), jnp.tril(B))
+    for i in range(5):
+        np.testing.assert_allclose(S @ V3[:, i], w3[i] * (B @ V3[:, i]),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_lapack_unsupported():
+    with pytest.raises(NotImplementedError):
+        lapack.gees(jnp.eye(3))
+
+
+# ---- spsolve (cholmod/umfpack/amd equivalents) -----------------------
+
+def test_cholmod_like():
+    import scipy.sparse as sp
+    A = randpsd(8)
+    A[np.abs(A) < 0.5] = 0.0
+    A = A + 8 * np.eye(8)
+    As = sp.csc_matrix(A)
+    b = RNG.standard_normal(8)
+    F = spsolve.numeric(jnp.asarray(A), spsolve.symbolic(A))
+    x = spsolve.solve(F, jnp.asarray(b))
+    np.testing.assert_allclose(A @ np.asarray(x), b, rtol=1e-8)
+    x2 = spsolve.linsolve(As, jnp.asarray(b))
+    np.testing.assert_allclose(A @ np.asarray(x2), b, rtol=1e-8)
+    # sys=4/5 triangular subsolves compose to the full solve
+    y = spsolve.solve(F, jnp.asarray(b), sys=4)
+    x3 = spsolve.solve(F, y, sys=5)
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x),
+                               rtol=1e-8)
+
+
+def test_umfpack_like():
+    A = RNG.standard_normal((6, 6)) + 6 * np.eye(6)
+    b = RNG.standard_normal(6)
+    x = spsolve.lu_linsolve(jnp.asarray(A), jnp.asarray(b))
+    np.testing.assert_allclose(A @ np.asarray(x), b, rtol=1e-8)
+    F = spsolve.lu_numeric(jnp.asarray(A), spsolve.lu_symbolic(A))
+    xt = spsolve.lu_solve(F, jnp.asarray(b), trans="T")
+    np.testing.assert_allclose(A.T @ np.asarray(xt), b, rtol=1e-8)
+
+
+def test_amd_order():
+    A = np.eye(6)
+    A[0, 5] = A[5, 0] = 1.0
+    A[1, 2] = A[2, 1] = 1.0
+    p = spsolve.amd_order(A)
+    assert sorted(p.tolist()) == list(range(6))
+
+
+# ---- fft -------------------------------------------------------------
+
+def test_fft_roundtrips():
+    x = jnp.asarray(RNG.standard_normal((8, 3)))
+    np.testing.assert_allclose(np.asarray(fft.idft(fft.dft(x))).real,
+                               np.asarray(x), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fft.idctn(fft.dctn(x))),
+                               np.asarray(x), atol=1e-8)
+    y = fft.dct(x)
+    import scipy.fft as sfft
+    np.testing.assert_allclose(np.asarray(y),
+                               sfft.dct(np.asarray(x), axis=0),
+                               rtol=1e-8)
+    z = fft.dst(x)
+    np.testing.assert_allclose(np.asarray(z),
+                               sfft.dst(np.asarray(x), type=1, axis=0),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fft.idst(fft.dst(x))),
+                               np.asarray(x), atol=1e-8)
+
+
+# ---- rng (gsl equivalent; mirrors tests/test_gsl.py) -----------------
+
+def test_rng_seeding():
+    rng.setseed(42)
+    a = np.asarray(rng.normal(5, 2))
+    u = np.asarray(rng.uniform(4, 1, a=2.0, b=3.0))
+    rng.setseed(42)
+    a2 = np.asarray(rng.normal(5, 2))
+    np.testing.assert_allclose(a, a2)
+    assert rng.getseed() == 42
+    assert u.shape == (4,)
+    assert (u >= 2.0).all() and (u < 3.0).all()
+
+
+# ---- printing / base -------------------------------------------------
+
+def test_printing():
+    X = np.arange(6.0).reshape(2, 3)
+    s = printing.matrix_str_default(X)
+    assert "0.00e" in s.replace(" ", "")
+    assert printing.matrix_repr(X) == "<2x3 matrix, tc='d'>"
+    from cvxopt_tpu.base import spmatrix
+    S = spmatrix([1.0, 2.0], [0, 1], [1, 0], size=(2, 2))
+    t = printing.spmatrix_str_triplet(S)
+    assert "(0,1)" in t
+
+
+def test_base_constructors():
+    from cvxopt_tpu.base import matrix, spmatrix, sparse, spdiag, mul, \
+        div, emax
+    # nested lists are columns (cvxopt semantics)
+    A = matrix([[2., 1., -1., 0.], [1., 2., 0., -1.]])
+    assert A.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(A)[:, 0], [2., 1., -1., 0.])
+    B = matrix(3.0, (2, 2))
+    np.testing.assert_allclose(np.asarray(B), 3.0 * np.ones((2, 2)))
+    C = matrix(np.arange(6.0), (2, 3))      # column-major fill
+    assert float(C[1, 0]) == 1.0 and float(C[0, 1]) == 2.0
+    S = spmatrix([1., 2., 3.], [0, 1, 2], [0, 1, 2])
+    np.testing.assert_allclose(np.asarray(S.todense()), np.diag(
+        [1., 2., 3.]))
+    D = spdiag([1., 2.])
+    np.testing.assert_allclose(np.asarray(D.todense()),
+                               np.diag([1., 2.]))
+    Bl = sparse([[np.eye(2), np.zeros((1, 2))],
+                 [np.zeros((2, 1)), np.ones((1, 1))]])
+    assert Bl.shape == (3, 3)
+    np.testing.assert_allclose(np.asarray(mul([1., 2.], [3., 4.])),
+                               [3., 8.])
+    np.testing.assert_allclose(np.asarray(div([4.], [2.])), [2.])
+    np.testing.assert_allclose(np.asarray(emax([1., 5.], [2., 3.])),
+                               [2., 5.])
