@@ -392,7 +392,9 @@ def _resolve_opts(dims, kktsolver, refinement):
     if refinement is None:
         refinement = 1 if (dims.q or dims.s) else 0
     if kktsolver == "default" or kktsolver is None:
-        kktsolver = "chol" if (dims.q or dims.s) else "chol2"
+        # reference conelp default: 'qr' if q/s else 'chol2'
+        # (coneprog.py:458-462)
+        kktsolver = "qr" if (dims.q or dims.s) else "chol2"
     return kktsolver, refinement
 
 

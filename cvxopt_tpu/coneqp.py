@@ -15,6 +15,12 @@ Same TPU-first architecture as conelp.py: the whole solve is one
 jit-compiled `lax.while_loop`, vmap-batchable; singular KKT becomes a
 status code via NaN detection.
 
+Advanced API (mirrors conelp): P, G, A may be `linops.LinearOperator`s,
+`kktsolver` may be a callable ``kktsolver(W) -> solve`` (the solve must
+incorporate P, as in the reference where the default wraps
+``factor(W, P)``, coneprog.py:1980-1981), and `initvals` warm starts
+(coneprog.py:1521-1530) are supported.
+
 Status codes: 0 optimal, 3 unknown (maxiters), 4 unknown (singular).
 """
 
@@ -31,10 +37,236 @@ from cvxopt_tpu import cones
 from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu import scaling as nt
 from cvxopt_tpu import kkt as kktmod
+from cvxopt_tpu.linops import LinearOperator
 from cvxopt_tpu.conelp import (
     STATUS_RUNNING, STATUS_OPTIMAL, STATUS_UNKNOWN_MAXITERS,
     STATUS_UNKNOWN_SINGULAR, STATUS_STRINGS, STEP, EXPON, _prep_inputs,
 )
+
+
+def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
+                  q, h, b, n, p, dtype, maxiters, abstol, reltol,
+                  feastol, refinement, correction, show_progress,
+                  initvals=None):
+    """The coneqp algorithm with all linear maps abstracted as closures
+    (coneprog.py:1440-2547).  Pure; call inside jit."""
+    e = cones.cone_identity(dims, dtype=dtype)
+    e_lq = e[:dims.lnl + dims.qdim]
+
+    resx0 = jnp.maximum(1.0, jnp.linalg.norm(q))
+    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
+    resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
+
+    # ---- initial point (coneprog.py:2044-2149) -----------------------
+    if initvals is None:
+        f0 = factor_W(nt.identity_scaling(dims, dtype=dtype))
+        x, y, z = f0(-q, b, h)
+        s = -z
+        nrms = cones.snrm2(s, dims)
+        ts = cones.max_step(s, dims)
+        s = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
+                      s + (1.0 + ts) * e, s)
+        nrmz = cones.snrm2(z, dims)
+        tz = cones.max_step(z, dims)
+        z = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
+                      z + (1.0 + tz) * e, z)
+    else:
+        x = jnp.asarray(initvals.get("x", jnp.zeros(n, dtype)), dtype)
+        y = jnp.asarray(initvals.get("y", jnp.zeros(p, dtype)), dtype)
+        s = jnp.asarray(initvals.get("s", e), dtype)
+        z = jnp.asarray(initvals.get("z", e), dtype)
+
+    W, lmbda = nt.compute_scaling(s, z, dims)
+    gap = cones.sdot(s, z, dims)
+    nan = jnp.asarray(jnp.nan, dtype)
+
+    state = dict(
+        x=x, y=y, s=s, z=z, W=W, lmbda=lmbda, gap=gap,
+        iters=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(STATUS_RUNNING, jnp.int32),
+        pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
+    )
+
+    def _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz):
+        lmbdasq = cones.ssqr(lmbda, dims)
+        f3 = factor_W(W)
+
+        def f4_no_ir(bx, by_, bz, bs):
+            # (coneprog.py:2288-2316)
+            us = cones.sinv(bs, lmbda, dims)
+            uz = bz - nt.scale(us, W, dims, trans="T")
+            ux, uy, uz = f3(bx, by_, uz)
+            us = us - uz
+            return ux, uy, uz, us
+
+        def resid4(ux, uy, uz, us, vx, vy, vz, vs):
+            # (coneprog.py:1930-1960)
+            wz3 = nt.scale(uz, W, dims, inverse="I")
+            vx = vx - Pf(ux) - ATf(uy) - GTf(wz3)
+            vy = vy - Af(ux)
+            vz = vz - Gf(ux) - nt.scale(us, W, dims, trans="T")
+            vs = vs - cones.sprod_diag(us + uz, lmbda, dims)
+            return vx, vy, vz, vs
+
+        def f4(bx, by_, bz, bs):
+            u = f4_no_ir(bx, by_, bz, bs)
+            for _ in range(refinement):
+                v = resid4(*u, bx, by_, bz, bs)
+                du = f4_no_ir(*v)
+                u = tuple(a + d for a, d in zip(u, du))
+            return u
+
+        mu = gap / dims.cdim_diag
+        lmbdasq_full = cones.diag_embed(lmbdasq, dims)
+
+        # ---- predictor (i=0, coneprog.py:2360-2455) ------------------
+        ds_in = -lmbdasq_full
+        dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
+        dsdz = cones.sdot(ds, dz, dims)
+        ws3 = cones.sprod(ds, dz, dims)
+        ds_sc = nt.scale2(lmbda, ds, dims)
+        dz_sc = nt.scale2(lmbda, dz, dims)
+        ts = cones.max_step(ds_sc, dims)
+        tz = cones.max_step(dz_sc, dims)
+        t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+        step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, 1.0 / t))
+        sigma = jnp.minimum(
+            1.0, jnp.maximum(0.0, 1.0 - step + dsdz / gap * step ** 2)
+        ) ** EXPON
+
+        # ---- corrector (i=1) -----------------------------------------
+        ds_in = -lmbdasq_full + sigma * mu * e
+        if correction:
+            ds_in = ds_in - ws3
+        dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
+        ds_sc = nt.scale2(lmbda, ds, dims)
+        dz_sc = nt.scale2(lmbda, dz, dims)
+        ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
+        tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
+        t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+        step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, STEP / t))
+
+        # ---- update (coneprog.py:2459-2547) --------------------------
+        x = x + step * dx
+        y = y + step * dy
+
+        nlq = dims.lnl + dims.qdim
+        ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
+        dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
+        ds2 = nt.scale2(lmbda, ds2, dims, inverse="I")
+        dz2 = nt.scale2(lmbda, dz2, dims, inverse="I")
+
+        if dims.s:
+            lam_s = lmbda[nlq:]
+            sig_s = (1.0 + step * sigs) / lam_s
+            sig_z = (1.0 + step * sigz) / lam_s
+            for run in dims.s_runs:
+                off, doff, cnt, m = run
+                i0 = doff - nlq
+                cs = jnp.sqrt(sig_s[i0:i0 + cnt * m]).reshape(cnt, m)
+                cz = jnp.sqrt(sig_z[i0:i0 + cnt * m]).reshape(cnt, m)
+                Vs = cones.sview(ds2, run) * cs[..., None, :]
+                Vz = cones.sview(dz2, run) * cz[..., None, :]
+                ds2 = ds2.at[off:off + cnt * m * m].set(Vs.reshape(-1))
+                dz2 = dz2.at[off:off + cnt * m * m].set(Vz.reshape(-1))
+
+        W2, lmbda2 = nt.update_scaling(W, lmbda, ds2, dz2, dims)
+
+        lam_full = cones.diag_embed(lmbda2, dims)
+        s2 = nt.scale(lam_full, W2, dims, trans="T")
+        z2 = nt.scale(lam_full, W2, dims, inverse="I")
+        gap2 = jnp.dot(lmbda2, lmbda2)
+        return x, y, s2, z2, W2, lmbda2, gap2
+
+    def cond(st):
+        return st["status"] == STATUS_RUNNING
+
+    def body(st):
+        x, y, s, z = st["x"], st["y"], st["s"], st["z"]
+        W, lmbda, gap = st["W"], st["lmbda"], st["gap"]
+        iters = st["iters"]
+
+        # ---- residuals (coneprog.py:2169-2204) -----------------------
+        Px = Pf(x)
+        rx = Px + q + ATf(y) + GTf(z)
+        f0_ = 0.5 * (jnp.dot(x, Px) + jnp.dot(x, q))
+        resx = jnp.linalg.norm(rx)
+        ry = Af(x) - b
+        resy = jnp.linalg.norm(ry)
+        rz = s + Gf(x) - h
+        resz = cones.snrm2(rz, dims)
+
+        pcost = f0_
+        dcost = f0_ + jnp.dot(y, ry) + cones.sdot(z, rz, dims) - gap
+        inf = jnp.asarray(jnp.inf, q.dtype)
+        relgap = jnp.where(
+            pcost < 0.0, gap / -pcost,
+            jnp.where(dcost > 0.0, gap / dcost, inf))
+        pres = jnp.maximum(resy / resy0, resz / resz0)
+        dres = resx / resx0
+
+        if show_progress:
+            jax.debug.print(
+                "{i:2d}: {pc: 8.4e} {dc: 8.4e} {g: 4.0e} {pr:7.0e} "
+                "{dr:7.0e}",
+                i=iters, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres)
+
+        optimal = ((pres <= feastol) & (dres <= feastol)
+                   & ((gap <= abstol) | (relgap <= reltol)))
+        maxed = iters >= maxiters
+        new_status = jnp.where(
+            optimal, STATUS_OPTIMAL,
+            jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
+                      STATUS_RUNNING)).astype(jnp.int32)
+        exiting = new_status != STATUS_RUNNING
+
+        upd = _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz)
+        x2, y2, s2, z2, W2, lmbda2, gap2 = upd
+
+        ok = jnp.isfinite(gap2) & jnp.isfinite(jnp.sum(lmbda2))
+        new_status = jnp.where(exiting, new_status,
+                               jnp.where(ok, STATUS_RUNNING,
+                                         STATUS_UNKNOWN_SINGULAR))
+        keep = exiting | ~ok
+
+        def sel(a, bnew):
+            return jax.tree_util.tree_map(
+                lambda u, v: jnp.where(keep, u, v), a, bnew)
+
+        out = dict(st)
+        out.update(pcost=pcost, dcost=dcost, relgap=relgap,
+                   pres=pres, dres=dres)
+        out["status"] = new_status
+        out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
+        out["x"] = sel(x, x2)
+        out["y"] = sel(y, y2)
+        out["s"] = sel(s, s2)
+        out["z"] = sel(z, z2)
+        out["W"] = sel(W, W2)
+        out["lmbda"] = sel(lmbda, lmbda2)
+        out["gap"] = sel(gap, gap2)
+        return out
+
+    final = lax.while_loop(cond, body, state)
+    ts = cones.max_step(final["s"], dims)
+    tz = cones.max_step(final["z"], dims)
+    return dict(
+        x=final["x"], y=final["y"], s=final["s"], z=final["z"],
+        status=final["status"], iterations=final["iters"],
+        gap=final["gap"], relgap=final["relgap"],
+        pcost=final["pcost"], dcost=final["dcost"],
+        pres=final["pres"], dres=final["dres"],
+        primal_slack=-ts, dual_slack=-tz,
+    )
+
+
+def _resolve_qp_opts(dims, kktsolver, refinement):
+    if refinement is None:
+        refinement = 1 if (dims.q or dims.s) else 0
+    if kktsolver == "default" or kktsolver is None:
+        # reference: 'chol' if q/s else 'chol2' (coneprog.py:1805-1809)
+        kktsolver = "chol"
+    return kktsolver, refinement
 
 
 @functools.lru_cache(maxsize=128)
@@ -48,232 +280,27 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
     """Build the jitted coneqp core: f(P, q, G, h, A, b) -> result dict
     of arrays.  Cached per dims+options; the vmap entry point for the
     batched-scenario configurations."""
-    if refinement is None:
-        refinement = 1 if (dims.q or dims.s) else 0
-    if kktsolver == "default":
-        # reference: 'chol' if q/s else 'chol2' (coneprog.py:1805-1809)
-        kktsolver = "chol"
+    kktsolver, refinement = _resolve_qp_opts(dims, kktsolver,
+                                             refinement)
 
     def core(P, q, G, h, A, b):
-        n = q.shape[0]
-        p = A.shape[0]
-        dtype = q.dtype
-        e = cones.cone_identity(dims, dtype=dtype)
-        e_lq = e[:dims.lnl + dims.qdim]
-
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
                                       kktreg=kktreg)
-
-        resx0 = jnp.maximum(1.0, jnp.linalg.norm(q))
-        resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
-        resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
-
-        # ---- initial point (coneprog.py:2044-2106) -------------------
-        Wid = nt.identity_scaling(dims, dtype=dtype)
-        f0 = factor(Wid, P)
-        x, y, z = f0(-q, b, h)
-        s = -z
-
-        nrms = cones.snrm2(s, dims)
-        ts = cones.max_step(s, dims)
-        s = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
-                      s + (1.0 + ts) * e, s)
-        nrmz = cones.snrm2(z, dims)
-        tz = cones.max_step(z, dims)
-        z = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
-                      z + (1.0 + tz) * e, z)
-
-        W, lmbda = nt.compute_scaling(s, z, dims)
-        gap = cones.sdot(s, z, dims)
-        nan = jnp.asarray(jnp.nan, dtype)
-
-        state = dict(
-            x=x, y=y, s=s, z=z, W=W, lmbda=lmbda, gap=gap,
-            iters=jnp.asarray(0, jnp.int32),
-            status=jnp.asarray(STATUS_RUNNING, jnp.int32),
-            pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
-        )
-
-        def cond(st):
-            return st["status"] == STATUS_RUNNING
-
-        def body(st):
-            x, y, s, z = st["x"], st["y"], st["s"], st["z"]
-            W, lmbda, gap = st["W"], st["lmbda"], st["gap"]
-            iters = st["iters"]
-
-            # ---- residuals (coneprog.py:2169-2204) -------------------
-            Px = P @ x
-            rx = Px + q + A.T @ y + G.T @ z
-            f0_ = 0.5 * (jnp.dot(x, Px) + jnp.dot(x, q))
-            resx = jnp.linalg.norm(rx)
-            ry = A @ x - b
-            resy = jnp.linalg.norm(ry)
-            rz = s + G @ x - h
-            resz = cones.snrm2(rz, dims)
-
-            pcost = f0_
-            dcost = f0_ + jnp.dot(y, ry) + cones.sdot(z, rz, dims) - gap
-            inf = jnp.asarray(jnp.inf, q.dtype)
-            relgap = jnp.where(
-                pcost < 0.0, gap / -pcost,
-                jnp.where(dcost > 0.0, gap / dcost, inf))
-            pres = jnp.maximum(resy / resy0, resz / resz0)
-            dres = resx / resx0
-
-            if show_progress:
-                jax.debug.print(
-                    "{i:2d}: {pc: 8.4e} {dc: 8.4e} {g: 4.0e} {pr:7.0e} "
-                    "{dr:7.0e}",
-                    i=iters, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres)
-
-            optimal = ((pres <= feastol) & (dres <= feastol)
-                       & ((gap <= abstol) | (relgap <= reltol)))
-            maxed = iters >= maxiters
-            new_status = jnp.where(
-                optimal, STATUS_OPTIMAL,
-                jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
-                          STATUS_RUNNING)).astype(jnp.int32)
-            exiting = new_status != STATUS_RUNNING
-
-            upd = _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz)
-            x2, y2, s2, z2, W2, lmbda2, gap2 = upd
-
-            ok = jnp.isfinite(gap2) & jnp.isfinite(jnp.sum(lmbda2))
-            new_status = jnp.where(exiting, new_status,
-                                   jnp.where(ok, STATUS_RUNNING,
-                                             STATUS_UNKNOWN_SINGULAR))
-            keep = exiting | ~ok
-
-            def sel(a, bnew):
-                return jax.tree_util.tree_map(
-                    lambda u, v: jnp.where(keep, u, v), a, bnew)
-
-            out = dict(st)
-            out.update(pcost=pcost, dcost=dcost, relgap=relgap,
-                       pres=pres, dres=dres)
-            out["status"] = new_status
-            out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
-            out["x"] = sel(x, x2)
-            out["y"] = sel(y, y2)
-            out["s"] = sel(s, s2)
-            out["z"] = sel(z, z2)
-            out["W"] = sel(W, W2)
-            out["lmbda"] = sel(lmbda, lmbda2)
-            out["gap"] = sel(gap, gap2)
-            return out
-
-        def _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz):
-            lmbdasq = cones.ssqr(lmbda, dims)
-            f3 = factor(W, P)
-
-            def f4_no_ir(bx, by_, bz, bs):
-                # (coneprog.py:2288-2316)
-                us = cones.sinv(bs, lmbda, dims)
-                uz = bz - nt.scale(us, W, dims, trans="T")
-                ux, uy, uz = f3(bx, by_, uz)
-                us = us - uz
-                return ux, uy, uz, us
-
-            def resid4(ux, uy, uz, us, vx, vy, vz, vs):
-                # (coneprog.py:1930-1960)
-                wz3 = nt.scale(uz, W, dims, inverse="I")
-                vx = vx - P @ ux - A.T @ uy - G.T @ wz3
-                vy = vy - A @ ux
-                vz = vz - G @ ux - nt.scale(us, W, dims, trans="T")
-                vs = vs - cones.sprod_diag(us + uz, lmbda, dims)
-                return vx, vy, vz, vs
-
-            def f4(bx, by_, bz, bs):
-                u = f4_no_ir(bx, by_, bz, bs)
-                for _ in range(refinement):
-                    v = resid4(*u, bx, by_, bz, bs)
-                    du = f4_no_ir(*v)
-                    u = tuple(a + d for a, d in zip(u, du))
-                return u
-
-            mu = gap / dims.cdim_diag
-            lmbdasq_full = cones.diag_embed(lmbdasq, dims)
-
-            # ---- predictor (i=0, coneprog.py:2360-2455) --------------
-            ds_in = -lmbdasq_full
-            dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
-            dsdz = cones.sdot(ds, dz, dims)
-            ws3 = cones.sprod(ds, dz, dims)
-            ds_sc = nt.scale2(lmbda, ds, dims)
-            dz_sc = nt.scale2(lmbda, dz, dims)
-            ts = cones.max_step(ds_sc, dims)
-            tz = cones.max_step(dz_sc, dims)
-            t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
-            step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, 1.0 / t))
-            sigma = jnp.minimum(
-                1.0, jnp.maximum(0.0,
-                                 1.0 - step + dsdz / gap * step ** 2)
-            ) ** EXPON
-
-            # ---- corrector (i=1) -------------------------------------
-            ds_in = -lmbdasq_full + sigma * mu * e
-            if correction:
-                ds_in = ds_in - ws3
-            dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
-            ds_sc = nt.scale2(lmbda, ds, dims)
-            dz_sc = nt.scale2(lmbda, dz, dims)
-            ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
-            tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
-            t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
-            step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, STEP / t))
-
-            # ---- update (coneprog.py:2459-2547) ----------------------
-            x = x + step * dx
-            y = y + step * dy
-
-            nlq = dims.lnl + dims.qdim
-            ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
-            dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
-            ds2 = nt.scale2(lmbda, ds2, dims, inverse="I")
-            dz2 = nt.scale2(lmbda, dz2, dims, inverse="I")
-
-            if dims.s:
-                lam_s = lmbda[nlq:]
-                sig_s = (1.0 + step * sigs) / lam_s
-                sig_z = (1.0 + step * sigz) / lam_s
-                for run in dims.s_runs:
-                    off, doff, cnt, m = run
-                    i0 = doff - nlq
-                    cs = jnp.sqrt(sig_s[i0:i0 + cnt * m]).reshape(cnt, m)
-                    cz = jnp.sqrt(sig_z[i0:i0 + cnt * m]).reshape(cnt, m)
-                    Vs = cones.sview(ds2, run) * cs[..., None, :]
-                    Vz = cones.sview(dz2, run) * cz[..., None, :]
-                    ds2 = ds2.at[off:off + cnt * m * m].set(
-                        Vs.reshape(-1))
-                    dz2 = dz2.at[off:off + cnt * m * m].set(
-                        Vz.reshape(-1))
-
-            W2, lmbda2 = nt.update_scaling(W, lmbda, ds2, dz2, dims)
-
-            lam_full = cones.diag_embed(lmbda2, dims)
-            s2 = nt.scale(lam_full, W2, dims, trans="T")
-            z2 = nt.scale(lam_full, W2, dims, inverse="I")
-            gap2 = jnp.dot(lmbda2, lmbda2)
-            return x, y, s2, z2, W2, lmbda2, gap2
-
-        final = lax.while_loop(cond, body, state)
-        ts = cones.max_step(final["s"], dims)
-        tz = cones.max_step(final["z"], dims)
-        return dict(
-            x=final["x"], y=final["y"], s=final["s"], z=final["z"],
-            status=final["status"], iterations=final["iters"],
-            gap=final["gap"], relgap=final["relgap"],
-            pcost=final["pcost"], dcost=final["dcost"],
-            pres=final["pres"], dres=final["dres"],
-            primal_slack=-ts, dual_slack=-tz,
-        )
+        return _coneqp_solve(
+            dims, factor_W=lambda W: factor(W, P),
+            Pf=lambda x: P @ x,
+            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
+            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            q=q, h=h, b=b, n=q.shape[0], p=A.shape[0], dtype=q.dtype,
+            maxiters=maxiters, abstol=abstol, reltol=reltol,
+            feastol=feastol, refinement=refinement,
+            correction=correction, show_progress=show_progress)
 
     return jax.jit(core)
 
 
 def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
-           kktsolver=None, options=None, **kwargs):
+           initvals=None, kktsolver=None, options=None, **kwargs):
     """Solve a cone QP; returns the reference-format result dict
     (coneprog.py:125-283, no certificate entries)."""
     from cvxopt_tpu.solvers import options as global_options
@@ -284,27 +311,88 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     q = q.astype(dtype).reshape(-1)
     n = q.shape[0]
-    P = jnp.asarray(P, dtype=dtype).reshape(n, n)
-    P = 0.5 * (P + P.T)
+    custom_kkt = callable(kktsolver)
+    P_is_op = isinstance(P, LinearOperator) or (callable(P)
+                                                and custom_kkt)
+    if not P_is_op:
+        P = jnp.asarray(P, dtype=dtype).reshape(n, n)
+        P = 0.5 * (P + P.T)
     if G is None and h is None:
         G = jnp.zeros((0, n), dtype=dtype)
         h = jnp.zeros((0,), dtype=dtype)
         if dims is None:
             dims = ConeDims(l=0)
-    _, G, h, dims, A, b = _prep_inputs(q, G, h, dims, A, b, dtype=dtype)
-    fn = make_coneqp(
-        dims,
-        kktsolver=kktsolver or "default",
-        maxiters=int(opts.get("maxiters", 100)),
-        abstol=float(opts.get("abstol", 1e-7)),
-        reltol=float(opts.get("reltol", 1e-6)),
-        feastol=float(opts.get("feastol", 1e-7)),
-        refinement=opts.get("refinement", None),
-        kktreg=opts.get("kktreg", None),
-        correction=bool(opts.get("use_correction", True)),
-        show_progress=bool(opts.get("show_progress", False)),
-    )
-    raw = fn(P, q, G, h, A, b)
+    _, G, h, dims, A, b = _prep_inputs(q, G, h, dims, A, b, dtype=dtype,
+                                       allow_ops=custom_kkt)
+    maxiters = int(opts.get("maxiters", 100))
+    abstol = float(opts.get("abstol", 1e-7))
+    reltol = float(opts.get("reltol", 1e-6))
+    feastol = float(opts.get("feastol", 1e-7))
+    show_progress = bool(opts.get("show_progress", False))
+    correction = bool(opts.get("use_correction", True))
+    refinement = opts.get("refinement", None)
+
+    if not custom_kkt and initvals is None and not P_is_op:
+        fn = make_coneqp(
+            dims, kktsolver=kktsolver or "default", maxiters=maxiters,
+            abstol=abstol, reltol=reltol, feastol=feastol,
+            refinement=refinement, kktreg=opts.get("kktreg", None),
+            correction=correction, show_progress=show_progress)
+        raw = fn(P, q, G, h, A, b)
+        return finalize_qp_result(raw)
+
+    # ---- advanced path: custom kkt / operators / warm starts ---------
+    if P_is_op:
+        Pop = P if isinstance(P, LinearOperator) else None
+        Pf = Pop.mv if Pop else (lambda x: P(x, "N"))
+    else:
+        Pf = lambda x: P @ x
+    if isinstance(G, LinearOperator):
+        Gf, GTf = G.mv, G.rmv
+    elif callable(G):
+        Gf, GTf = (lambda x: G(x, "N")), (lambda z: G(z, "T"))
+    else:
+        Gf, GTf = (lambda x: G @ x), (lambda z: G.T @ z)
+    if isinstance(A, LinearOperator):
+        Af, ATf, pdim = A.mv, A.rmv, A.shape[0]
+    elif callable(A):
+        Af, ATf, pdim = (lambda x: A(x, "N")), (lambda y_: A(y_, "T")), \
+            b.shape[0]
+    else:
+        Af, ATf, pdim = (lambda x: A @ x), (lambda y_: A.T @ y_), \
+            A.shape[0]
+
+    if custom_kkt:
+        factor_W = kktsolver
+    else:
+        kname, _ = _resolve_qp_opts(dims, kktsolver, refinement)
+        factor = kktmod.get_kktsolver(kname, G, dims, A,
+                                      kktreg=opts.get("kktreg", None))
+        factor_W = lambda W: factor(W, P)
+    _, refinement = _resolve_qp_opts(dims, "default", refinement)
+
+    iv = None
+    if initvals is not None:
+        iv = {}
+        for k in ("x", "y", "s", "z"):
+            if k in initvals:
+                v = jnp.asarray(initvals[k], dtype=dtype).reshape(-1)
+                if k in ("s", "z"):
+                    v = cones.symmetrize_lower(v, dims)
+                    if float(cones.max_step(v, dims)) >= 0:
+                        raise ValueError(f"initial {k} is not positive")
+                iv[k] = v
+
+    def run():
+        return _coneqp_solve(
+            dims, factor_W=factor_W, Pf=Pf, Gf=Gf, GTf=GTf, Af=Af,
+            ATf=ATf, q=q, h=h, b=b, n=n, p=pdim, dtype=dtype,
+            maxiters=maxiters, abstol=abstol, reltol=reltol,
+            feastol=feastol, refinement=refinement,
+            correction=correction, show_progress=show_progress,
+            initvals=iv)
+
+    raw = jax.jit(run)()
     return finalize_qp_result(raw)
 
 

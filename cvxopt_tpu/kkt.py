@@ -197,16 +197,69 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0):
     return factor
 
 
+def kkt_qr(G, dims: ConeDims, A, mnl: int = 0):
+    """Zero-(1,1)-block KKT solve by two QR factorizations (reference
+    kkt_qr, misc.py:1570-1697) — the conelp default for 'q'/'s' cones
+    (coneprog.py:458-462): QR of A' eliminates the equalities, then a
+    QR of W^{-T}G·Q2 (packed columns) solves the reduced system without
+    forming normal equations (no condition-number squaring)."""
+    p, n = A.shape
+    if p:
+        Q, RA = jnp.linalg.qr(A.T, mode="complete")      # A' = Q [R1; 0]
+        Q1, Q2 = Q[:, :p], Q[:, p:]
+        R1 = RA[:p, :]
+    else:
+        Q1 = jnp.zeros((n, 0), dtype=G.dtype)
+        Q2 = jnp.eye(n, dtype=G.dtype)
+        R1 = jnp.zeros((0, 0), dtype=G.dtype)
+
+    def factor(W, H=None, Df=None):
+        if H is not None:
+            raise ValueError("kkt_qr requires a zero (1,1) block "
+                             "(conelp only)")
+        GG = _stack_gg(G, Df)
+        Gs = pack_matrix_cols(
+            scale_rows(GG, W, dims, trans="T", inverse="I"), dims)
+        Gs1 = Gs @ Q1                                    # (pdim, p)
+        Q3, R3 = jnp.linalg.qr(Gs @ Q2, mode="reduced")  # (pdim, n-p)
+
+        def solve(bx, by, bz):
+            bzp = pack(scale(bz, W, dims, trans="T", inverse="I"), dims)
+            if p:
+                v1 = jsl.solve_triangular(R1.T, by, lower=True)
+                w = bzp - Gs1 @ v1
+            else:
+                v1 = by
+                w = bzp
+            vv2 = jsl.solve_triangular(R3.T, Q2.T @ bx, lower=True)
+            u = Q3.T @ w + vv2
+            Wz = Q3 @ u - w
+            if p:
+                uy = jsl.solve_triangular(
+                    R1, Q1.T @ bx - Gs1.T @ Wz, lower=False)
+            else:
+                uy = by
+            ux = Q2 @ jsl.solve_triangular(R3, u, lower=False)
+            if p:
+                ux = ux + Q1 @ v1
+            return ux, uy, unpack(Wz, dims)
+
+        return solve
+
+    return factor
+
+
 def get_kktsolver(name: str, G, dims: ConeDims, A, mnl: int = 0,
                   kktreg: Optional[float] = None):
     """Map reference kktsolver names (coneprog.py:463) to strategies.
 
-    'ldl'/'ldl2'/'qr' map to the full-system dense factorization
-    `kkt_lu` (the robust path); 'chol' and 'chol2' map to their direct
-    equivalents.
+    'ldl'/'ldl2' map to the full-system dense factorization `kkt_lu`;
+    'qr', 'chol', 'chol2' map to their direct equivalents.
     """
-    if name in ("ldl", "ldl2", "qr"):
+    if name in ("ldl", "ldl2"):
         return kkt_lu(G, dims, A, mnl=mnl, kktreg=kktreg)
+    if name == "qr":
+        return kkt_qr(G, dims, A, mnl=mnl)
     if name == "chol":
         return kkt_chol(G, dims, A, mnl=mnl)
     if name == "chol2":
