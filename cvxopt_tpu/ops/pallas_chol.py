@@ -1,0 +1,234 @@
+"""Fused Pallas kernels for the KKT hot path.
+
+The IPM's per-iteration cost on TPU is dominated by kernel-launch and
+sequential-small-op overhead (XLA's Cholesky/solve lower to ~100
+dependent device ops per iteration), not FLOPs.  These kernels fuse the
+entire condensed-KKT factorization
+
+    S = P + G' diag(dinv2) G ;   S = L L'
+
+into ONE on-chip kernel (everything resident in VMEM), and fuse the
+forward+backward substitution pair into another.  The factor kernel
+also emits the inverses of the diagonal panel blocks, turning every
+subsequent triangular solve into a short chain of MXU matmuls instead
+of scalar recurrences.
+
+Layout per instance (n <= ~512 fits comfortably in 16 MB VMEM):
+  P (n,n) + G (m,n) + S scratch + L out + panel inverses.
+
+Blocked right-looking Cholesky with static panel width BP: the panel
+factorization is an in-kernel fori_loop of rank-1 updates (VPU); the
+panel inverse is a fori_loop of forward substitutions; trailing updates
+are MXU dots.  The panel loop over n/BP panels is a Python loop at
+trace time (static shapes per panel).
+
+These kernels replace BLAS/LAPACK potrf/potrs in the reference's hot
+loop (SURVEY.md §3.1 hot spots #1-2; misc.py kkt_chol2:1352).  Use
+`jax.vmap` to batch (pallas_call has a batching rule that prepends a
+grid dimension).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BP = 64          # panel width (multiple of 8 for f32 sublanes)
+
+
+def _unblocked_chol(A):
+    """Cholesky of a (BP, BP) block via fori_loop of masked rank-1
+    updates — no dynamic indexing (Pallas TPU has no dynamic_slice on
+    values; everything is full-width ops selected with iota masks)."""
+    p = A.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+
+    def body(k, A):
+        akk = jnp.sum(jnp.where((rows == k) & (cols == k), A, 0.0))
+        piv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        colk = jnp.sum(jnp.where(cols == k, A, 0.0), axis=1,
+                       keepdims=True) * piv                # (p, 1)
+        colm = jnp.where(rows[:, :1] > k, colk, 0.0)
+        A = A - colm @ colm.T
+        A = jnp.where(cols == k, jnp.where(rows >= k, colk, 0.0), A)
+        return A
+
+    L = jax.lax.fori_loop(0, p, body, A)
+    return jnp.where(rows >= cols, L, 0.0)
+
+
+def _tri_inv_lower(L):
+    """Inverse of a (BP, BP) lower-triangular block via fori_loop of
+    masked forward substitutions (one ROW of the inverse per step)."""
+    p = L.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    eye = (rows == cols).astype(L.dtype)
+
+    def body(i, X):
+        Lrow = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0,
+                       keepdims=True)                      # (1, p)
+        lii = jnp.sum(jnp.where(cols == i, Lrow, 0.0))
+        Lrow_strict = jnp.where(cols[:1, :] < i, Lrow, 0.0)
+        contrib = Lrow_strict @ X                          # (1, p)
+        ei = (cols[:1, :] == i).astype(L.dtype)
+        newrow = (ei - contrib) / lii
+        return jnp.where(rows == i, newrow, X)
+
+    return jax.lax.fori_loop(0, p, body, jnp.zeros_like(L))
+
+
+def _fused_chol_kernel(npanels):
+    def kernel(P_ref, Gt_ref, dinv2_ref, L_ref, Dinv_ref, S_ref):
+        # S = P + (G' * dinv2) G  — one MXU contraction
+        Gt = Gt_ref[:]                          # (n, m)
+        Gd = Gt * dinv2_ref[:]                  # (1, m) row broadcasts
+        S_ref[:] = P_ref[:] + jax.lax.dot_general(
+            Gd, Gt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # blocked right-looking Cholesky over static panels
+        for j in range(npanels):
+            o = j * BP
+            A11 = S_ref[o:o + BP, o:o + BP]
+            L11 = _unblocked_chol(A11)
+            Linv11 = _tri_inv_lower(L11)
+            L_ref[o:o + BP, o:o + BP] = L11
+            Dinv_ref[j] = Linv11
+            if j + 1 < npanels:
+                r = (npanels - j - 1) * BP
+                A21 = S_ref[o + BP:, o:o + BP]          # (r, BP)
+                L21 = jnp.dot(A21, Linv11.T,
+                              preferred_element_type=jnp.float32)
+                L_ref[o + BP:, o:o + BP] = L21
+                S_ref[o + BP:, o + BP:] = (
+                    S_ref[o + BP:, o + BP:]
+                    - jnp.dot(L21, L21.T,
+                              preferred_element_type=jnp.float32))
+        # zero the strictly-upper part of L
+        n = npanels * BP
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        L_ref[:] = jnp.where(rows >= cols, L_ref[:], 0.0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _noop(x):
+    return x
+
+
+def fused_schur_cholesky(P, Gt, dinv2):
+    """L, Dinv = chol(P + G' diag(dinv2) G) with panel inverses.
+
+    P: (n, n); Gt: (n, m) (= G transposed); dinv2: (m,) or (1, m)
+    (kept 2-D inside the kernel for TPU lane layout).
+    n must be a multiple of BP (=64).  Returns L (n, n) lower and
+    Dinv (n/BP, BP, BP) inverses of the diagonal panels of L.
+    vmap to batch.
+    """
+    if dinv2.ndim == 1:
+        dinv2 = dinv2.reshape(1, -1)
+    n = P.shape[-1]
+    if n % BP:
+        raise ValueError(f"n ({n}) must be a multiple of {BP}")
+    npan = n // BP
+    kernel = _fused_chol_kernel(npan)
+    L, Dinv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), P.dtype),
+            jax.ShapeDtypeStruct((npan, BP, BP), P.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, n), P.dtype)],
+    )(P, Gt, dinv2)
+    return L, Dinv
+
+
+def _fused_solve_kernel(npanels):
+    def kernel(L_ref, Dinv_ref, b_ref, x_ref, y_ref):
+        # forward: y = L^{-1} b, one panel at a time (MXU dots)
+        for j in range(npanels):
+            o = j * BP
+            rhs = b_ref[:, o:o + BP]                   # (r, BP) rows?
+            # b is (nrhs, n) laid out as rows for lane efficiency
+            acc = rhs
+            if j > 0:
+                acc = acc - jnp.dot(
+                    y_ref[:, :o], L_ref[o:o + BP, :o].T,
+                    preferred_element_type=jnp.float32)
+            y_ref[:, o:o + BP] = jnp.dot(
+                acc, Dinv_ref[j].T, preferred_element_type=jnp.float32)
+        # backward: x = L^{-T} y
+        for jj in range(npanels):
+            j = npanels - 1 - jj
+            o = j * BP
+            acc = y_ref[:, o:o + BP]
+            if jj > 0:
+                acc = acc - jnp.dot(
+                    x_ref[:, o + BP:], L_ref[o + BP:, o:o + BP],
+                    preferred_element_type=jnp.float32)
+            x_ref[:, o:o + BP] = jnp.dot(
+                acc, Dinv_ref[j], preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def fused_cholesky_solve(L, Dinv, B_rows):
+    """x = (L L')^{-1} b for multiple right-hand sides.
+
+    L: (n, n) lower; Dinv: (n/BP, BP, BP) panel inverses (from
+    `fused_schur_cholesky`); B_rows: (nrhs, n) — right-hand sides as
+    ROWS.  Returns (nrhs, n).  vmap to batch.
+    """
+    n = L.shape[-1]
+    npan = n // BP
+    kernel = _fused_solve_kernel(npan)
+    x = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(B_rows.shape, B_rows.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(B_rows.shape, B_rows.dtype)],
+    )(L, Dinv, B_rows)
+    return x
+
+
+# ---- pure-jnp reference implementations (semantics oracle) -----------
+
+def fused_schur_cholesky_ref(P, Gt, dinv2):
+    S = P + (Gt * dinv2) @ Gt.T
+    L = jnp.linalg.cholesky(S)
+    n = P.shape[-1]
+    npan = n // BP
+    Dinv = jnp.stack([
+        jnp.linalg.inv(L[j * BP:(j + 1) * BP, j * BP:(j + 1) * BP])
+        for j in range(npan)])
+    return L, Dinv
+
+
+def fused_cholesky_solve_ref(L, Dinv, B_rows):
+    import jax.scipy.linalg as jsl
+    y = jsl.solve_triangular(L, B_rows.T, lower=True)
+    return jsl.solve_triangular(L.T, y, lower=False).T
