@@ -42,7 +42,8 @@ def qp(P, q, G=None, h=None, A=None, b=None, solver=None, options=None,
        initvals=None, **kwargs):
     """QP front-end (coneprog.py:4156): coneqp with dims = {'l': m}."""
     _check_solver(solver)
-    return coneqp(P, q, G, h, dims=None, A=A, b=b, options=options)
+    return coneqp(P, q, G, h, dims=None, A=A, b=b, initvals=initvals,
+                  options=options)
 
 
 def _stack_cols(blocks, n):

@@ -75,7 +75,7 @@ def _tri_inv_lower(L):
     def body(i, X):
         Lrow = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0,
                        keepdims=True)                      # (1, p)
-        lii = jnp.sum(jnp.where(cols == i, Lrow, 0.0))
+        lii = jnp.sum(jnp.where(cols[:1, :] == i, Lrow, 0.0))
         Lrow_strict = jnp.where(cols[:1, :] < i, Lrow, 0.0)
         contrib = Lrow_strict @ X                          # (1, p)
         ei = (cols[:1, :] == i).astype(L.dtype)
