@@ -265,7 +265,7 @@ def _resolve_qp_opts(dims, kktsolver, refinement):
         refinement = 1 if (dims.q or dims.s) else 0
     if kktsolver == "default" or kktsolver is None:
         # reference: 'chol' if q/s else 'chol2' (coneprog.py:1805-1809)
-        kktsolver = "chol"
+        kktsolver = "chol" if (dims.q or dims.s) else "chol2"
     return kktsolver, refinement
 
 

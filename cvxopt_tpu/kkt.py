@@ -181,14 +181,16 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0):
         def solve(bx, by, bz):
             zs = scale(bz, W, dims, trans="T", inverse="I")
             r = bx + Gs.T @ zs
+            t = Sinv(r)
             if p:
-                rhs = A @ Sinv(r) - by
+                rhs = A @ t - by
                 w = jsl.solve_triangular(Lk, rhs, lower=True)
                 uy = jsl.solve_triangular(Lk.T, w, lower=False)
-                ux = Sinv(r - A.T @ uy)
+                # linearity: S^{-1}(r - A'uy) = t - (S^{-1}A') uy
+                ux = t - SiAT @ uy
             else:
                 uy = by
-                ux = Sinv(r)
+                ux = t
             Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
             return ux, uy, Wuz
 

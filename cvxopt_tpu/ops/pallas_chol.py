@@ -215,6 +215,192 @@ def fused_cholesky_solve(L, Dinv, B_rows):
     return x
 
 
+# ---- batch-tiled variants (EXPERIMENTAL) -----------------------------
+#
+# For BATCHED small problems, a grid of single-instance kernels leaves
+# the VPU idle during the sequential panel recurrences.  These variants
+# process TB instances per kernel invocation: the sequential fori steps
+# operate on (TB, p, p) tiles (masks broadcast over the batch), so the
+# latency-bound part is amortized TB-fold; per-instance matmuls are a
+# static TB loop of MXU dots.
+#
+# STATUS: correct under interpret mode, but the current Mosaic TPU
+# compiler rejects the 3-D in-kernel tiles (layout.h check failure on
+# (TB,1,1)-shaped reductions).  The production path therefore stays on
+# XLA's batched cholesky (measured on par: XLA 26.6 ms vs
+# single-instance-grid Pallas 41.8 ms for 256x n=256 factor+solve).
+# Planned fix: re-lay the batch tile along columns as a 2-D
+# (p, TB*p) block so every in-kernel op is rank-2.
+
+
+def _unblocked_chol_b(A):
+    """Batched Cholesky of (TB, p, p) blocks, masked fori_loop."""
+    tb, p, _ = A.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tb, p, p), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, p, p), 2)
+
+    def body(k, A):
+        akk = jnp.sum(jnp.where((rows == k) & (cols == k), A, 0.0),
+                      axis=(1, 2), keepdims=True)
+        piv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        colk = jnp.sum(jnp.where(cols == k, A, 0.0), axis=2,
+                       keepdims=True) * piv              # (tb, p, 1)
+        colm = jnp.where(rows[:, :, :1] > k, colk, 0.0)
+        A = A - colm * jnp.swapaxes(colm, 1, 2)
+        A = jnp.where(cols == k, jnp.where(rows >= k, colk, 0.0), A)
+        return A
+
+    L = jax.lax.fori_loop(0, p, body, A)
+    return jnp.where(rows >= cols, L, 0.0)
+
+
+def _tri_inv_lower_b(L):
+    """Batched lower-triangular inverse of (TB, p, p) blocks."""
+    tb, p, _ = L.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tb, p, p), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, p, p), 2)
+
+    def body(i, X):
+        Lrow = jnp.sum(jnp.where(rows == i, L, 0.0), axis=1,
+                       keepdims=True)                    # (tb, 1, p)
+        lii = jnp.sum(jnp.where(cols[:, :1, :] == i, Lrow, 0.0),
+                      axis=2, keepdims=True)             # (tb, 1, 1)
+        Lrow_strict = jnp.where(cols[:, :1, :] < i, Lrow, 0.0)
+        contrib = jnp.sum(jnp.swapaxes(Lrow_strict, 1, 2) * X, axis=1,
+                          keepdims=True)                 # (tb, 1, p)
+        ei = (cols[:, :1, :] == i).astype(L.dtype)
+        newrow = (ei - contrib) / lii
+        return jnp.where(rows == i, newrow, X)
+
+    return jax.lax.fori_loop(0, p, body, jnp.zeros_like(L))
+
+
+def _fused_chol_kernel_b(npanels, tb):
+    def kernel(P_ref, Gt_ref, dinv2_ref, L_ref, Dinv_ref, S_ref):
+        Gt = Gt_ref[:]                                   # (n, m)
+        for t in range(tb):
+            Gd = Gt * dinv2_ref[t]                       # (n, m)
+            S_ref[t] = P_ref[t] + jax.lax.dot_general(
+                Gd, Gt, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        for j in range(npanels):
+            o = j * BP
+            A11 = S_ref[:, o:o + BP, o:o + BP]
+            L11 = _unblocked_chol_b(A11)
+            Linv11 = _tri_inv_lower_b(L11)
+            L_ref[:, o:o + BP, o:o + BP] = L11
+            Dinv_ref[:, j] = Linv11
+            if j + 1 < npanels:
+                for t in range(tb):
+                    A21 = S_ref[t, o + BP:, o:o + BP]
+                    L21 = jnp.dot(A21, Linv11[t].T,
+                                  preferred_element_type=jnp.float32)
+                    L_ref[t, o + BP:, o:o + BP] = L21
+                    S_ref[t, o + BP:, o + BP:] = (
+                        S_ref[t, o + BP:, o + BP:]
+                        - jnp.dot(L21, L21.T,
+                                  preferred_element_type=jnp.float32))
+        n = npanels * BP
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, n, n), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tb, n, n), 2)
+        L_ref[:] = jnp.where(rows >= cols, L_ref[:], 0.0)
+
+    return kernel
+
+
+def fused_schur_cholesky_batched(P, Gt, dinv2, tb: int = 8):
+    """Batched L, Dinv over a leading batch axis, TB instances per
+    kernel invocation.  P: (B, n, n); Gt: (n, m) shared; dinv2: (B, m).
+    B must be a multiple of tb, n a multiple of BP."""
+    Bsz, n, _ = P.shape
+    m = Gt.shape[1]
+    if Bsz % tb or n % BP:
+        raise ValueError("B must be divisible by tb and n by BP")
+    npan = n // BP
+    kernel = _fused_chol_kernel_b(npan, tb)
+    L, Dinv = pl.pallas_call(
+        kernel,
+        grid=(Bsz // tb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bsz, n, n), P.dtype),
+            jax.ShapeDtypeStruct((Bsz, npan, BP, BP), P.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, npan, BP, BP), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((tb, n, n), P.dtype)],
+    )(P, Gt, dinv2)
+    return L, Dinv
+
+
+def _fused_solve_kernel_b(npanels, tb):
+    def kernel(L_ref, Dinv_ref, b_ref, x_ref, y_ref):
+        for j in range(npanels):
+            o = j * BP
+            for t in range(tb):
+                acc = b_ref[t, :, o:o + BP]
+                if j > 0:
+                    acc = acc - jnp.dot(
+                        y_ref[t, :, :o], L_ref[t, o:o + BP, :o].T,
+                        preferred_element_type=jnp.float32)
+                y_ref[t, :, o:o + BP] = jnp.dot(
+                    acc, Dinv_ref[t, j].T,
+                    preferred_element_type=jnp.float32)
+        for jj in range(npanels):
+            j = npanels - 1 - jj
+            o = j * BP
+            for t in range(tb):
+                acc = y_ref[t, :, o:o + BP]
+                if jj > 0:
+                    acc = acc - jnp.dot(
+                        x_ref[t, :, o + BP:],
+                        L_ref[t, o + BP:, o:o + BP],
+                        preferred_element_type=jnp.float32)
+                x_ref[t, :, o:o + BP] = jnp.dot(
+                    acc, Dinv_ref[t, j],
+                    preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def fused_cholesky_solve_batched(L, Dinv, B_rows, tb: int = 8):
+    """Batched multi-RHS solve: L (B, n, n), Dinv (B, npan, BP, BP),
+    B_rows (B, nrhs, n)."""
+    Bsz, n, _ = L.shape
+    npan = n // BP
+    nrhs = B_rows.shape[1]
+    kernel = _fused_solve_kernel_b(npan, tb)
+    x = pl.pallas_call(
+        kernel,
+        grid=(Bsz // tb,),
+        out_shape=jax.ShapeDtypeStruct(B_rows.shape, B_rows.dtype),
+        in_specs=[
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, npan, BP, BP), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, nrhs, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, nrhs, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tb, nrhs, n), B_rows.dtype)],
+    )(L, Dinv, B_rows)
+    return x
+
+
 # ---- pure-jnp reference implementations (semantics oracle) -----------
 
 def fused_schur_cholesky_ref(P, Gt, dinv2):

@@ -65,3 +65,29 @@ def test_fused_chol_rejects_bad_n(pallas_interpret):
     with pytest.raises(ValueError):
         pc.fused_schur_cholesky(jnp.eye(100), jnp.ones((100, 8)),
                                 jnp.ones(8))
+
+
+def test_batched_variants_match_reference(pallas_interpret):
+    """Batch-tiled kernels (experimental on TPU) are correct in
+    interpret mode."""
+    pc = pallas_interpret
+    rng = np.random.default_rng(1)
+    B, n, m, tb = 4, 128, 160, 2
+    F = rng.standard_normal((B, n, n)).astype(np.float32)
+    P = jnp.asarray(F @ F.transpose(0, 2, 1) + n * np.eye(n),
+                    dtype=jnp.float32)
+    Gt = jnp.asarray(rng.standard_normal((n, m)), dtype=jnp.float32)
+    dinv2 = jnp.asarray(rng.uniform(0.5, 2.0, (B, m)),
+                        dtype=jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((B, 4, n)),
+                      dtype=jnp.float32)
+    L, Dinv = pc.fused_schur_cholesky_batched(P, Gt, dinv2, tb=tb)
+    x = pc.fused_cholesky_solve_batched(L, Dinv, rhs, tb=tb)
+    for k in range(B):
+        Lr, Dr = pc.fused_schur_cholesky_ref(P[k], Gt, dinv2[k])
+        scale = float(jnp.max(jnp.abs(Lr)))
+        np.testing.assert_allclose(np.asarray(L[k]), np.asarray(Lr),
+                                   atol=5e-6 * scale)
+        xr = pc.fused_cholesky_solve_ref(Lr, Dr, rhs[k])
+        np.testing.assert_allclose(np.asarray(x[k]), np.asarray(xr),
+                                   atol=2e-5)
