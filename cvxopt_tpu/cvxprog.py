@@ -20,11 +20,13 @@ TPU-first differences from the reference:
     negative number) and the line search backtracks on NaN — the
     jit-compatible analogue of "F(x) returns None" (cvxprog.py:1052);
   - the merit-function line search (phi = theta1*gap + theta2*||rx|| +
-    theta3*||rznl||, cvxprog.py:1065-1161) runs as a lax.while_loop;
-    the MAX_RELAXED_ITERS relaxed-line-search state machine
-    (cvxprog.py:1081-1261) is not yet implemented — every iteration
-    uses the standard sufficient-decrease backtracking, which is the
-    reference's MAX_RELAXED_ITERS=0 behavior;
+    theta3*||rznl||, cvxprog.py:1065-1161) runs as lax.while_loops,
+    including the MAX_RELAXED_ITERS relaxed-line-search state machine
+    (cvxprog.py:1081-1261): relaxed single-step series with state
+    save/restore, resumed standard backtracking when a series fails,
+    and singular-KKT recovery to the saved state — all as selects over
+    a carried `saved` context (pass max_relaxed=0 for plain
+    backtracking);
   - the whole solve is one jit-compiled lax.while_loop, vmap-batchable.
 
 Status codes: 0 optimal, 3 unknown (maxiters), 4 unknown (singular).
@@ -54,6 +56,7 @@ STEP = 0.99
 BETA = 0.5
 ALPHA = 0.01
 EXPON = 3
+MAX_RELAXED_ITERS = 8
 MAX_LS_ITERS = 40
 
 
@@ -61,6 +64,7 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
              maxiters: int = 100, abstol: float = 1e-7,
              reltol: float = 1e-6, feastol: float = 1e-7,
              refinement: int = 1, kktreg: Optional[float] = None,
+             max_relaxed: int = MAX_RELAXED_ITERS,
              show_progress: bool = False):
     """Build the jitted cpl core: g(c, x0, G, h, A, b) -> result arrays.
 
@@ -68,6 +72,7 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
     JAX function R^n -> R^mnl, NaN outside its domain.
     """
     assert dims.mnl > 0, "cpl requires a nonlinear block (dims.mnl > 0)"
+    custom_kkt = callable(kktsolver)
     if kktsolver == "default":
         kktsolver = "chol"   # cvxprog.py:426-430 ('chol' when q/s; the
         #                      dense condensed path covers 'l' too)
@@ -85,8 +90,14 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
         e = cones.cone_identity(dims, dtype=dtype)
         e_lq = e[:dims.lnl + dims.qdim]
 
-        factor = kktmod.get_kktsolver(kktsolver, G, dims, A, mnl=mnl,
-                                      kktreg=kktreg)
+        if custom_kkt:
+            # reference contract: kktsolver(x, z[:mnl], W) -> solve
+            # (cvxprog.py:518-537); the user evaluates f/Df/H itself
+            factor3 = kktsolver
+        else:
+            factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                          mnl=mnl, kktreg=kktreg)
+            factor3 = None
 
         # initial points (cvxprog.py:556-570): s = z = e
         x = x0
@@ -118,12 +129,27 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
         theta3 = 1.0 / resznl0
 
         nan = jnp.asarray(jnp.nan, dtype)
+        zero = jnp.asarray(0.0, dtype)
+        # placeholder saved line-search state (never read before the
+        # first save; see the relaxed machinery in _iteration)
+        saved0 = dict(
+            phi=zero, dphi=zero, gap=zero, sigma=zero, dsdz=zero,
+            step=jnp.asarray(1.0, dtype),
+            x=x, y=y, s=s, z=z, W=W, lmbda=lmbda,
+            dx=jnp.zeros(n, dtype), dy=jnp.zeros(p, dtype),
+            ds2u=jnp.zeros(dims.cdim, dtype),
+            dz2u=jnp.zeros(dims.cdim, dtype),
+            dsq=jnp.zeros(dims.cdim, dtype),
+            dzq=jnp.zeros(dims.cdim, dtype),
+            sigs=jnp.zeros(dims.sdim_diag, dtype),
+            sigz=jnp.zeros(dims.sdim_diag, dtype))
         state = dict(
             x=x, y=y, s=s, z=z, W=W, lmbda=lmbda,
             iters=jnp.asarray(0, jnp.int32),
             status=jnp.asarray(STATUS_RUNNING, jnp.int32),
             gap=gap0, pcost=nan, dcost=nan, relgap=nan, pres=nan,
             dres=nan,
+            relaxed=jnp.asarray(0, jnp.int32), saved=saved0,
         )
 
         def cond(st):
@@ -133,6 +159,7 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             x, y, s, z = st["x"], st["y"], st["s"], st["z"]
             W, lmbda = st["W"], st["lmbda"]
             iters = st["iters"]
+            relaxed_in, saved_in = st["relaxed"], st["saved"]
 
             fx = f(x)
             Df = Df_fn(x)
@@ -177,38 +204,66 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             exiting = new_status != STATUS_RUNNING
 
             upd = _iteration(x, y, s, z, W, lmbda, gap, phi, rx, ry,
-                             rznl, rzl, resx, resznl, Df, H)
-            x2, y2, s2, z2, W2, lmbda2 = upd
+                             rznl, rzl, resx, resznl, Df, H,
+                             relaxed_in, saved_in)
+            x2, y2, s2, z2, W2, lmbda2, r_new, saved_new = upd
 
             gap2 = cones.sdot(s2, z2, dims)
             ok = (jnp.isfinite(gap2) & jnp.isfinite(jnp.sum(lmbda2))
                   & jnp.isfinite(jnp.sum(x2)))
-            new_status = jnp.where(exiting, new_status,
-                                   jnp.where(ok, STATUS_RUNNING,
-                                             STATUS_UNKNOWN_SINGULAR))
-            keep = exiting | ~ok
+            # singular-KKT recovery during a relaxed series: restore
+            # the saved state and retry with a standard line search
+            # (cvxprog.py:785-820)
+            if max_relaxed > 0:
+                can_restore = ((~ok) & (relaxed_in > 0)
+                               & (relaxed_in < max_relaxed) & ~exiting)
+            else:
+                can_restore = jnp.asarray(False)
+            new_status = jnp.where(
+                exiting, new_status,
+                jnp.where(ok | can_restore, STATUS_RUNNING,
+                          STATUS_UNKNOWN_SINGULAR))
+            keep = exiting | (~ok)
 
             def sel(a, bnew):
                 return jax.tree_util.tree_map(
                     lambda u, v: jnp.where(keep, u, v), a, bnew)
 
+            def rsel(field, a, bnew):
+                merged = sel(a, bnew)
+                return jax.tree_util.tree_map(
+                    lambda m, sv: jnp.where(can_restore, sv, m),
+                    merged, saved_in[field])
+
             out = dict(st)
             out.update(gap=gap, pcost=pcost, dcost=dcost, relgap=relgap,
                        pres=pres, dres=dres)
             out["status"] = new_status
-            out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
-            out["x"] = sel(x, x2)
-            out["y"] = sel(y, y2)
-            out["s"] = sel(s, s2)
-            out["z"] = sel(z, z2)
-            out["W"] = sel(W, W2)
-            out["lmbda"] = sel(lmbda, lmbda2)
+            out["iters"] = iters + jnp.where(
+                keep | can_restore, 0, 1).astype(jnp.int32)
+            out["x"] = rsel("x", x, x2)
+            out["y"] = rsel("y", y, y2)
+            out["s"] = rsel("s", s, s2)
+            out["z"] = rsel("z", z, z2)
+            out["W"] = rsel("W", W, W2)
+            out["lmbda"] = rsel("lmbda", lmbda, lmbda2)
+            out["relaxed"] = jnp.where(
+                exiting, relaxed_in,
+                jnp.where(can_restore, -1,
+                          jnp.where(ok, r_new, relaxed_in))
+            ).astype(jnp.int32)
+            out["saved"] = jax.tree_util.tree_map(
+                lambda sv, nw: jnp.where(keep | can_restore, sv, nw),
+                saved_in, saved_new)
             return out
 
         def _iteration(x, y, s, z, W, lmbda, gap, phi, rx, ry, rznl,
-                       rzl, resx, resznl, Df, H):
+                       rzl, resx, resznl, Df, H, relaxed, saved):
             lmbdasq = cones.ssqr(lmbda, dims)
-            f3 = factor(W, H, Df)
+            if custom_kkt:
+                f3 = factor3(x, z[:mnl], W)
+            else:
+                f3 = factor(W, H, Df)
 
             def f4_no_ir(bx, by_, bz, bs):
                 # (cvxprog.py:858-883)
@@ -240,98 +295,192 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             mu = gap / dims.cdim_diag
             lmbdasq_full = cones.diag_embed(lmbdasq, dims)
             rz_full = jnp.concatenate([rznl, rzl])
+            relaxed_ok = (relaxed >= 0) & (relaxed < max_relaxed) \
+                if max_relaxed > 0 else jnp.asarray(False)
 
-            def pc_pass(sigma, eta, i):
+            def compute_direction(sigma):
                 ds_in = -lmbdasq_full + sigma * mu * e
-                dx, dy, dz, ds = f4(-(1.0 - eta) * rx,
-                                    -(1.0 - eta) * ry,
-                                    -(1.0 - eta) * rz_full, ds_in)
+                dx, dy, dz, ds = f4(-rx, -ry, -rz_full, ds_in)
                 dsdz = cones.sdot(ds, dz, dims)
                 # unscaled steps for the line search (cvxprog.py:1031)
-                dz2 = nt.scale(dz, W, dims, inverse="I")
-                ds2 = nt.scale(ds, W, dims, trans="T")
+                dz2u = nt.scale(dz, W, dims, inverse="I")
+                ds2u = nt.scale(ds, W, dims, trans="T")
                 ds_sc = nt.scale2(lmbda, ds, dims)
                 dz_sc = nt.scale2(lmbda, dz, dims)
-                ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
-                tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
+                ts, sigs, dsq = cones.max_step_eig(ds_sc, dims)
+                tz, sigz, dzq = cones.max_step_eig(dz_sc, dims)
                 t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
                 step0 = jnp.where(t == 0.0, 1.0,
                                   jnp.minimum(1.0, STEP / t))
+                return dict(dx=dx, dy=dy, ds2u=ds2u, dz2u=dz2u,
+                            dsq=dsq, dzq=dzq, sigs=sigs, sigz=sigz,
+                            dsdz=dsdz, step0=step0)
 
-                # merit line search (cvxprog.py:1065-1181; standard
-                # backtracking = MAX_RELAXED_ITERS=0 behavior), merged
-                # with the domain backtracking (NaN -> backtrack)
-                dphi = jnp.where(
-                    i == 0, -phi,
-                    -theta1 * (1.0 - sigma) * gap
-                    - theta2 * (1.0 - eta) * resx
-                    - theta3 * (1.0 - eta) * resznl)
+            def eval_phi(ctx, step):
+                newx = ctx["x"] + step * ctx["dx"]
+                newy = ctx["y"] + step * ctx["dy"]
+                newz = ctx["z"] + step * ctx["dz2u"]
+                news = ctx["s"] + step * ctx["ds2u"]
+                newf = f(newx)
+                newDf = Df_fn(newx)
+                newrx = c + A.T @ newy + newDf.T @ newz[:mnl] \
+                    + G.T @ newz[mnl:]
+                newresx = jnp.linalg.norm(newrx)
+                newresznl = jnp.linalg.norm(news[:mnl] + newf)
+                newgap = (1.0 - (1.0 - ctx["sigma"]) * step) \
+                    * ctx["gap"] + step ** 2 * ctx["dsdz"]
+                newphi = theta1 * newgap + theta2 * newresx \
+                    + theta3 * newresznl
+                return newgap, newphi
 
-                def ls_metrics(step):
-                    newx = x + step * dx
-                    newy = y + step * dy
-                    newz = z + step * dz2
-                    news = s + step * ds2
-                    newf = f(newx)
-                    newDf = Df_fn(newx)
-                    newrx = c + A.T @ newy + newDf.T @ newz[:mnl] \
-                        + G.T @ newz[mnl:]
-                    newresx = jnp.linalg.norm(newrx)
-                    newresznl = jnp.linalg.norm(news[:mnl] + newf)
-                    newgap = (1.0 - (1.0 - sigma) * step) * gap \
-                        + step ** 2 * dsdz
-                    newphi = theta1 * newgap + theta2 * newresx \
-                        + theta3 * newresznl
-                    return newgap, newphi
+            # ---- predictor (i=0, cvxprog.py:966-1181) ----------------
+            zero = jnp.asarray(0.0, dtype)
+            D0 = compute_direction(zero)
+            ctx0 = dict(x=x, y=y, s=s, z=z, sigma=zero, gap=gap,
+                        dsdz=D0["dsdz"], dx=D0["dx"], dy=D0["dy"],
+                        ds2u=D0["ds2u"], dz2u=D0["dz2u"])
 
-                def ls_cond(carry):
+            def p_cond(carry):
+                step, k, done = carry
+                return (~done) & (k < MAX_LS_ITERS)
+
+            def p_body(carry):
+                step, k, _ = carry
+                newgap, newphi = eval_phi(ctx0, step)
+                gap_cond = newgap <= (1.0 - ALPHA * step) * gap
+                suff = newphi <= phi + ALPHA * step * (-phi)
+                accept = gap_cond & (relaxed_ok | suff) \
+                    & jnp.isfinite(newphi)
+                return (jnp.where(accept, step, step * BETA),
+                        k + 1, accept)
+
+            step_p, _, _ = lax.while_loop(
+                p_cond, p_body,
+                (D0["step0"], jnp.asarray(0, jnp.int32),
+                 jnp.asarray(False)))
+            newgap_p, _ = eval_phi(ctx0, step_p)
+            sigma = jnp.minimum(newgap_p / gap,
+                                (newgap_p / gap) ** EXPON)
+
+            # ---- corrector (i=1) with the relaxed line-search state
+            # machine (cvxprog.py:1081-1261) ---------------------------
+            D1 = compute_direction(sigma)
+            dphi_c = -theta1 * (1.0 - sigma) * gap - theta2 * resx \
+                - theta3 * resznl
+            cur = dict(
+                phi=phi, dphi=dphi_c, gap=gap, sigma=sigma,
+                dsdz=D1["dsdz"], step=D1["step0"],
+                x=x, y=y, s=s, z=z, W=W, lmbda=lmbda,
+                dx=D1["dx"], dy=D1["dy"], ds2u=D1["ds2u"],
+                dz2u=D1["dz2u"], dsq=D1["dsq"], dzq=D1["dzq"],
+                sigs=D1["sigs"], sigz=D1["sigz"])
+
+            # domain backtracking (cvxprog.py:1052-1062): shrink until
+            # f is defined at the trial point
+            def dom_cond(carry):
+                step, k, done = carry
+                return (~done) & (k < MAX_LS_ITERS)
+
+            def dom_body(carry):
+                step, k, _ = carry
+                ok_ = jnp.all(jnp.isfinite(f(x + step * D1["dx"])))
+                return (jnp.where(ok_, step, step * BETA), k + 1, ok_)
+
+            step_dom, _, _ = lax.while_loop(
+                dom_cond, dom_body,
+                (D1["step0"], jnp.asarray(0, jnp.int32),
+                 jnp.asarray(False)))
+            cur["step"] = step_dom
+
+            if max_relaxed > 0:
+                _, newphi_d = eval_phi(cur, step_dom)
+                suff_cur = (newphi_d <= phi + ALPHA * step_dom * dphi_c) \
+                    & jnp.isfinite(newphi_d)
+                suff_saved = (newphi_d <= saved["phi"] + ALPHA
+                              * saved["step"] * saved["dphi"]) \
+                    & jnp.isfinite(newphi_d)
+
+                r = relaxed
+                save_now = (r == 0) & ~suff_cur
+                use_saved = (r == max_relaxed) & ~suff_saved
+                need_bt = use_saved | (r == -1)
+                r_new = jnp.where(
+                    r == 0, jnp.where(suff_cur, 0, 1),
+                    jnp.where((r > 0) & (r < max_relaxed),
+                              jnp.where(suff_saved, 0, r + 1),
+                              jnp.where(r == max_relaxed,
+                                        jnp.where(suff_saved, 0, -1),
+                                        0))).astype(jnp.int32)
+
+                def tsel(pred, a_tree, b_tree):
+                    return jax.tree_util.tree_map(
+                        lambda a_, b_: jnp.where(pred, a_, b_),
+                        a_tree, b_tree)
+
+                saved_new = tsel(save_now, cur, saved)
+                ctx_f = tsel(use_saved, saved, cur)
+
+                # standard backtracking (r == -1, or resumed after a
+                # failed relaxed series) on the selected context
+                def bt_cond(carry):
+                    step, k, done = carry
+                    return (~done) & need_bt & (k < MAX_LS_ITERS)
+
+                def bt_body(carry):
+                    step, k, _ = carry
+                    _, newphi = eval_phi(ctx_f, step)
+                    accept = (newphi <= ctx_f["phi"] + ALPHA * step
+                              * ctx_f["dphi"]) & jnp.isfinite(newphi)
+                    return (jnp.where(accept, step, step * BETA),
+                            k + 1, accept)
+
+                bt_start = jnp.where(use_saved, saved["step"], step_dom)
+                step_bt, _, _ = lax.while_loop(
+                    bt_cond, bt_body,
+                    (bt_start, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(False)))
+                step = jnp.where(need_bt, step_bt, step_dom)
+            else:
+                # MAX_RELAXED_ITERS == 0: always standard backtracking
+                def bt_cond0(carry):
                     step, k, done = carry
                     return (~done) & (k < MAX_LS_ITERS)
 
-                def ls_body(carry):
+                def bt_body0(carry):
                     step, k, _ = carry
-                    newgap, newphi = ls_metrics(step)
-                    suff = newphi <= phi + ALPHA * step * dphi
-                    if_pred = jnp.where(
-                        i == 0,
-                        (newgap <= (1.0 - ALPHA * step) * gap) & suff,
-                        suff)
-                    accept = if_pred & jnp.isfinite(newphi)
+                    _, newphi = eval_phi(cur, step)
+                    accept = (newphi <= phi + ALPHA * step * dphi_c) \
+                        & jnp.isfinite(newphi)
                     return (jnp.where(accept, step, step * BETA),
                             k + 1, accept)
 
                 step, _, _ = lax.while_loop(
-                    ls_cond, ls_body,
-                    (step0, jnp.asarray(0, jnp.int32),
+                    bt_cond0, bt_body0,
+                    (step_dom, jnp.asarray(0, jnp.int32),
                      jnp.asarray(False)))
-                newgap, _ = ls_metrics(step)
-                sigma_next = jnp.where(
-                    i == 0,
-                    jnp.minimum(newgap / gap, (newgap / gap) ** EXPON),
-                    sigma)
-                return (dx, dy, dz, ds, ds_q, dz_q, sigs, sigz, step,
-                        sigma_next)
+                ctx_f = cur
+                r_new = relaxed
+                saved_new = saved
 
-            # predictor then corrector (cvxprog.py:966-1261)
-            zero = jnp.asarray(0.0, dtype)
-            (_, _, _, _, _, _, _, _, _, sigma) = pc_pass(zero, zero, 0)
-            (dx, dy, dz, ds, ds_q, dz_q, sigs, sigz, step,
-             _) = pc_pass(sigma, zero, 1)
-
-            # update (cvxprog.py:1264-1355)
-            x = x + step * dx
-            y = y + step * dy
+            # ---- update (cvxprog.py:1264-1355) on the (possibly
+            # restored) context -----------------------------------------
+            lmbda_f = ctx_f["lmbda"]
+            W_f = ctx_f["W"]
+            x2 = ctx_f["x"] + step * ctx_f["dx"]
+            y2 = ctx_f["y"] + step * ctx_f["dy"]
 
             nlq = dims.lnl + dims.qdim
-            ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
-            dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
-            ds2 = nt.scale2(lmbda, ds2, dims, inverse="I")
-            dz2 = nt.scale2(lmbda, dz2, dims, inverse="I")
+            ds2 = ctx_f["dsq"].at[:nlq].set(
+                e_lq + step * ctx_f["dsq"][:nlq])
+            dz2 = ctx_f["dzq"].at[:nlq].set(
+                e_lq + step * ctx_f["dzq"][:nlq])
+            ds2 = nt.scale2(lmbda_f, ds2, dims, inverse="I")
+            dz2 = nt.scale2(lmbda_f, dz2, dims, inverse="I")
 
             if dims.s:
-                lam_s = lmbda[nlq:]
-                sig_s = (1.0 + step * sigs) / lam_s
-                sig_z = (1.0 + step * sigz) / lam_s
+                lam_s = lmbda_f[nlq:]
+                sig_s = (1.0 + step * ctx_f["sigs"]) / lam_s
+                sig_z = (1.0 + step * ctx_f["sigz"]) / lam_s
                 for run in dims.s_runs:
                     off, doff, cnt, m = run
                     i0 = doff - nlq
@@ -344,11 +493,11 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
                     dz2 = dz2.at[off:off + cnt * m * m].set(
                         Vz.reshape(-1))
 
-            W2, lmbda2 = nt.update_scaling(W, lmbda, ds2, dz2, dims)
+            W2, lmbda2 = nt.update_scaling(W_f, lmbda_f, ds2, dz2, dims)
             lam_full = cones.diag_embed(lmbda2, dims)
             s2 = nt.scale(lam_full, W2, dims, trans="T")
             z2 = nt.scale(lam_full, W2, dims, inverse="I")
-            return x, y, s2, z2, W2, lmbda2
+            return x2, y2, s2, z2, W2, lmbda2, r_new, saved_new
 
         final = lax.while_loop(cond, body, state)
         ts = cones.max_step(final["s"], dims)

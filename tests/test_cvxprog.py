@@ -121,3 +121,54 @@ def test_l2ac():
     # unconstrained: gradient vanishes
     g = A.T @ (A @ x - b) + 2 * x / (1 - x * x)
     assert np.abs(g).max() < 1e-5
+
+
+def test_cpl_custom_kktsolver():
+    """Custom kktsolver(x, znl, W) for cpl (cvxprog.py:518-537):
+    min 1'x s.t. sum(exp(x)) <= K, x >= -2, with the diagonal+rank-1
+    KKT structure exploited via Sherman-Morrison; cross-checked
+    against the default dense path."""
+    import jax.scipy.linalg as jsl
+    n = 6
+    c = np.ones(n)
+
+    def F(x):
+        return jnp.array([jnp.sum(jnp.exp(x)) - 10.0])
+
+    G = -np.eye(n)
+    h = 2.0 * np.ones(n)
+    Gj = jnp.asarray(G)
+
+    def Fkkt(x, znl, W):
+        ex = jnp.exp(x)
+        H = znl[0] * ex                      # diag of Hessian
+        dnli2 = W["dnli"][0] ** 2
+        di2 = W["di"] ** 2
+        # S = diag(H + di^2) + dnli2 * outer(ex, ex)
+        D = H + di2
+        u = jnp.sqrt(dnli2) * ex
+        Dinv = 1.0 / D
+        denom = 1.0 + jnp.dot(u, Dinv * u)
+
+        def Sinv(v):
+            t = Dinv * v
+            return t - Dinv * u * (jnp.dot(u, t) / denom)
+
+        def solve(bx, by, bz):
+            # rhs = bx + GG' W^{-1} W^{-T} bz,  GG = [ex'; -I]
+            rhs = bx + ex * (dnli2 * bz[0]) - di2 * bz[1:]
+            ux = Sinv(rhs)
+            uy = by
+            Wuz_nl = W["dnli"] * (jnp.dot(ex, ux) - bz[:1])
+            Wuz_l = W["di"] * (-ux - bz[1:])
+            return ux, uy, jnp.concatenate([Wuz_nl, Wuz_l])
+
+        return solve
+
+    sol_d = cpl(c, F, np.zeros(n), G, h)
+    sol_c = cpl(c, F, np.zeros(n), G, h, kktsolver=Fkkt)
+    assert sol_d["status"] == "optimal"
+    assert sol_c["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol_c["x"]),
+                               np.asarray(sol_d["x"]), rtol=1e-6,
+                               atol=1e-7)
