@@ -115,6 +115,36 @@ def bench_tpu(nb, n, dtype, tol, maxiters=50):
     )
 
 
+def bench_large_kkt(n=8192):
+    """BASELINE primary metric: KKT assembly+factorize+solve wall time
+    for one large dense QP KKT system (S = P + G' D G; chol; solve)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+
+    @jax.jit
+    def fs(seed):
+        key = jax.random.PRNGKey(seed)
+        kF, kG, kd, kb = jax.random.split(key, 4)
+        F = jax.random.normal(kF, (n, 256), jnp.float32)
+        Gt = jax.random.normal(kG, (n, n), jnp.float32) / np.float32(
+            np.sqrt(n))
+        d = jax.random.uniform(kd, (n,), jnp.float32, 0.5, 2.0)
+        b = jax.random.normal(kb, (n,), jnp.float32)
+        S = F @ F.T + jnp.eye(n) + (Gt * d) @ Gt.T
+        L = jnp.linalg.cholesky(S)
+        y = jsl.solve_triangular(L, b[:, None], lower=True)
+        x = jsl.solve_triangular(L.T, y, lower=False)
+        return x.sum()
+
+    float(fs(0))                       # compile + warm
+    t0 = time.time()
+    reps = 3
+    for r in range(reps):
+        float(fs(r + 1))               # float() forces a real sync
+    return (time.time() - t0) / reps
+
+
 def bench_cpu_baseline(n, tol, k=3, maxiters=50):
     """Single-core reference iterations/s on identical instances."""
     from cvxopt_tpu._npref import coneqp_np
@@ -155,6 +185,9 @@ def main():
         dtype, tol = np.float64, 1e-7
 
     tpu = bench_tpu(nb, n, dtype, tol)
+    large_ms = None
+    if os.environ.get("BENCH_LARGE", "1") != "0":
+        large_ms = round(bench_large_kkt() * 1e3, 1)
     base = bench_cpu_baseline(n, tol if not on_tpu else 1e-7)
 
     result = {
@@ -169,6 +202,7 @@ def main():
         "batch_time_s": round(tpu["time_s"], 3),
         "compile_s": round(tpu["compile_s"], 1),
         "baseline_iters_per_s": round(base["iters_per_s"], 2),
+        "kkt_factor_solve_ms_n8192": large_ms,
         "device": tpu["device"],
         "dtype": np.dtype(dtype).name,
     }

@@ -48,6 +48,8 @@ from cvxopt_tpu import cones
 from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu import scaling as nt
 from cvxopt_tpu import kkt as kktmod
+import numpy as np
+
 from cvxopt_tpu.linops import LinearOperator
 
 STATUS_RUNNING = -1
@@ -70,6 +72,52 @@ STEP = 0.99
 EXPON = 3
 
 
+# ---- pytree vector-space helpers -------------------------------------
+#
+# The reference's level-3 customization lets users supply alternative
+# vector spaces for x and y via xnewcopy/xdot/xaxpy/xscal callbacks
+# (coneprog.py:286-402).  The TPU-native equivalent: x and y may be
+# ARBITRARY PYTREES — all solver arithmetic on them goes through these
+# tree helpers, which reduce to plain array ops for array-valued x/y.
+
+def _tdot(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    out = 0.0
+    for u, v in zip(la, lb):
+        out = out + jnp.sum(u * v)
+    return out
+
+
+def _tnorm(a):
+    return jnp.sqrt(jnp.maximum(_tdot(a, a), 0.0))
+
+
+def _tzeros(a):
+    return jax.tree_util.tree_map(jnp.zeros_like, a)
+
+
+def _tneg(a):
+    return jax.tree_util.tree_map(jnp.negative, a)
+
+
+def _tscale(alpha, a):
+    return jax.tree_util.tree_map(lambda u: alpha * u, a)
+
+
+def _taxpy(alpha, a, b):
+    """b + alpha * a (tree)."""
+    return jax.tree_util.tree_map(lambda u, v: v + alpha * u, a, b)
+
+
+def _tsub(a, b):
+    return jax.tree_util.tree_map(lambda u, v: u - v, a, b)
+
+
+def _tadd(a, b):
+    return jax.tree_util.tree_map(lambda u, v: u + v, a, b)
+
+
 def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                   n, p, dtype, maxiters, abstol, reltol, feastol,
                   refinement, show_progress, primalstart=None,
@@ -79,8 +127,8 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
     e = cones.cone_identity(dims, dtype=dtype)
     e_lq = e[:dims.lnl + dims.qdim]
 
-    resx0 = jnp.maximum(1.0, jnp.linalg.norm(c))
-    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
+    resx0 = jnp.maximum(1.0, _tnorm(c))
+    resy0 = jnp.maximum(1.0, _tnorm(b))
     resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
 
     # ---- initial points (coneprog.py:662-845) ------------------------
@@ -90,26 +138,25 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
 
     if primalstart is None:
         # solve [0 A' G'; A 0 0; G 0 -I][x;dy;-s] = [0;b;h]
-        x, _, ms = f0(jnp.zeros(n, dtype), b, h)
+        x, _, ms = f0(_tzeros(c), b, h)
         s = -ms
         nrms = cones.snrm2(s, dims)
         ts = cones.max_step(s, dims)
         s = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
                       s + (1.0 + ts) * e, s)
     else:
-        x = jnp.asarray(primalstart["x"], dtype=dtype)
+        x = primalstart["x"]
         s = jnp.asarray(primalstart["s"], dtype=dtype)
 
     if dualstart is None:
         # solve [...][dx;y;z] = [-c;0;0]
-        _, y, z = f0(-c, jnp.zeros(p, dtype), jnp.zeros(dims.cdim, dtype))
+        _, y, z = f0(_tneg(c), _tzeros(b), jnp.zeros(dims.cdim, dtype))
         nrmz = cones.snrm2(z, dims)
         tz = cones.max_step(z, dims)
         z = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
                       z + (1.0 + tz) * e, z)
     else:
-        y = jnp.asarray(dualstart.get("y", jnp.zeros(p, dtype)),
-                        dtype=dtype)
+        y = dualstart.get("y", _tzeros(b))
         z = jnp.asarray(dualstart["z"], dtype=dtype)
 
     tau = jnp.asarray(1.0, dtype)
@@ -138,23 +185,23 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         f3 = factor(W)
 
         # (x1, y1, z1) = dgi * K^{-1} (-c, b, h)  (coneprog.py:1071)
-        x1, y1, z1 = f3(-c, b, h)
-        x1, y1, z1 = dgi * x1, dgi * y1, dgi * z1
+        x1, y1, z1 = f3(_tneg(c), b, h)
+        x1, y1, z1 = _tscale(dgi, x1), _tscale(dgi, y1), dgi * z1
         th = nt.scale(h, W, dims, trans="T", inverse="I")
         z1z1 = cones.sdot(z1, z1, dims)
 
         def f6_no_ir(bx, by_, bz, btau, bs, bkappa):
             # (coneprog.py:1130-1196)
-            uy = -by_
+            uy = _tneg(by_)
             us = -cones.sinv(bs, lmbda, dims)
             uz = -(bz + nt.scale(us, W, dims, trans="T"))
             ux, uy, uz = f3(bx, uy, uz)
             ukappa = -bkappa / lg
             utau = btau + ukappa / dgi
-            utau = dgi * (utau + jnp.dot(c, ux) + jnp.dot(b, uy)
+            utau = dgi * (utau + _tdot(c, ux) + _tdot(b, uy)
                           + cones.sdot(th, uz, dims)) / (1.0 + z1z1)
-            ux = ux + utau * x1
-            uy = uy + utau * y1
+            ux = _taxpy(utau, x1, ux)
+            uy = _taxpy(utau, y1, uy)
             uz = uz + utau * z1
             us = us - uz
             ukappa = ukappa - utau
@@ -164,12 +211,13 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                    vx, vy, vz, vtau, vs, vkappa):
             # residual of the 6-var system (coneprog.py:599-631)
             wz3 = nt.scale(uz, W, dims, inverse="I")
-            vx = vx - ATf(uy) - GTf(wz3) - c * (utau / dg)
-            vy = vy + Af(ux) - b * (utau / dg)
+            vx = _taxpy(-(utau / dg), c,
+                        _tsub(_tsub(vx, ATf(uy)), GTf(wz3)))
+            vy = _taxpy(-(utau / dg), b, _tadd(vy, Af(ux)))
             ws3_ = nt.scale(us, W, dims, trans="T")
             vz = vz + Gf(ux) - h * (utau / dg) + ws3_
-            vtau = vtau + dg * ukappa + jnp.dot(c, ux) \
-                + jnp.dot(b, uy) + cones.sdot(h, wz3, dims)
+            vtau = vtau + dg * ukappa + _tdot(c, ux) \
+                + _tdot(b, uy) + cones.sdot(h, wz3, dims)
             vs = vs + cones.sprod_diag(us + uz, lmbda, dims)
             vkappa = vkappa + lg * (utau + ukappa)
             return vx, vy, vz, vtau, vs, vkappa
@@ -179,7 +227,9 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
             for _ in range(refinement):
                 v = resid6(*u, bx, by_, bz, btau, bs, bkappa)
                 du = f6_no_ir(*v)
-                u = tuple(a + d for a, d in zip(u, du))
+                u = tuple(jax.tree_util.tree_map(
+                    lambda a_, d_: a_ + d_, a, d)
+                    for a, d in zip(u, du))
             return u
 
         mu = jnp.sum(lmbda * lmbda) + lgsq
@@ -208,8 +258,8 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         ds_in = lmbdasq_full + ws3 - sigma * mu * e
         dk_in = lgsq + wkappa3 - sigma * mu
         dx, dy, dz, dtau, ds, dkappa = f6(
-            (1.0 - sigma) * rx, (1.0 - sigma) * ry, (1.0 - sigma) * rz,
-            (1.0 - sigma) * rt, ds_in, dk_in)
+            _tscale(1.0 - sigma, rx), _tscale(1.0 - sigma, ry),
+            (1.0 - sigma) * rz, (1.0 - sigma) * rt, ds_in, dk_in)
         ds_sc = nt.scale2(lmbda, ds, dims)
         dz_sc = nt.scale2(lmbda, dz, dims)
         ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
@@ -221,8 +271,8 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, STEP / t))
 
         # ---- update (coneprog.py:1336-1436) --------------------------
-        x = x + step * dx
-        y = y + step * dy
+        x = _taxpy(step, dx, x)
+        y = _taxpy(step, dy, y)
 
         nlq = dims.lnl + dims.qdim
         ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
@@ -271,20 +321,20 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         iters = st["iters"]
 
         # ---- residuals (coneprog.py:861-915) -------------------------
-        hrx = -ATf(y) - GTf(z)
-        hresx = jnp.linalg.norm(hrx)
-        rx = hrx - c * tau
-        resx = jnp.linalg.norm(rx) / tau
+        hrx = _tneg(_tadd(ATf(y), GTf(z)))
+        hresx = _tnorm(hrx)
+        rx = _taxpy(-tau, c, hrx)
+        resx = _tnorm(rx) / tau
         hry = Af(x)
-        hresy = jnp.linalg.norm(hry)
-        ry = hry - b * tau
-        resy = jnp.linalg.norm(ry) / tau
+        hresy = _tnorm(hry)
+        ry = _taxpy(-tau, b, hry)
+        resy = _tnorm(ry) / tau
         hrz = Gf(x) + s
         hresz = cones.snrm2(hrz, dims)
         rz = hrz - h * tau
         resz = cones.snrm2(rz, dims) / tau
-        cx = jnp.dot(c, x)
-        by = jnp.dot(b, y)
+        cx = _tdot(c, x)
+        by = _tdot(b, y)
         hz = cones.sdot(h, z, dims)
         rt = kappa + cx + by + hz
 
@@ -371,9 +421,9 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                    1.0 / tau)
     ys = jnp.where(status == STATUS_PRIMAL_INFEASIBLE,
                    1.0 / (-hz - by), 1.0 / tau)
-    x_out = final["x"] * xs
+    x_out = _tscale(xs, final["x"])
     s_out = final["s"] * xs
-    y_out = final["y"] * ys
+    y_out = _tscale(ys, final["y"])
     z_out = final["z"] * ys
     ts = cones.max_step(s_out, dims)
     tz = cones.max_step(z_out, dims)
@@ -429,11 +479,21 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
 
 
 def _prep_inputs(c, G, h, dims, A, b, dtype=None, allow_ops=False):
-    c = jnp.asarray(c)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    c = c.astype(dtype).reshape(-1)
-    n = c.shape[0]
+    c_is_tree = not hasattr(c, "shape") and not isinstance(
+        c, (list, tuple)) or isinstance(c, dict)
+    if c_is_tree:
+        if not allow_ops:
+            raise ValueError("pytree-valued c requires operator-form "
+                             "G/A and a custom kktsolver")
+        c = jax.tree_util.tree_map(
+            lambda u: jnp.asarray(u, dtype=dtype), c)
+        n = sum(int(np.prod(u.shape))
+                for u in jax.tree_util.tree_leaves(c))
+    else:
+        c = jnp.asarray(c).astype(dtype).reshape(-1)
+        n = c.shape[0]
     G_is_op = isinstance(G, LinearOperator) or callable(G)
     A_is_op = isinstance(A, LinearOperator) or (A is not None
                                                 and callable(A))
@@ -496,18 +556,30 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
         return finalize_result(raw, dims)
 
     # ---- advanced path: custom kktsolver / operators / warm starts ---
-    dtype = c.dtype
+    dtype = jax.tree_util.tree_leaves(c)[0].dtype
     if isinstance(G, LinearOperator):
         Gf, GTf = G.mv, G.rmv
     elif callable(G):
         Gf, GTf = (lambda x: G(x, "N")), (lambda z: G(z, "T"))
     else:
         Gf, GTf = (lambda x: G @ x), (lambda z: G.T @ z)
+    c_is_tree = not hasattr(c, "shape")
     if isinstance(A, LinearOperator):
         Af, ATf, p = A.mv, A.rmv, A.shape[0]
     elif callable(A):
         Af, ATf, p = (lambda x: A(x, "N")), (lambda y: A(y, "T")), \
             b.shape[0]
+    elif c_is_tree:
+        # pytree x: a matrix A is only meaningful when empty — the
+        # equality map must otherwise be operator-form (as in the
+        # reference, coneprog.py:477-479)
+        if A.shape[0]:
+            raise ValueError("pytree-valued c requires operator-form A")
+        zc = jax.tree_util.tree_map(
+            lambda u: jnp.zeros_like(u), c)
+        Af = lambda x: jnp.zeros((0,), dtype)
+        ATf = lambda y: zc
+        p = 0
     else:
         Af, ATf, p = (lambda x: A @ x), (lambda y: A.T @ y), A.shape[0]
 
@@ -540,10 +612,12 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     else:
         ds = None
 
+    n_var = c.shape[0] if hasattr(c, "shape") else None
+
     def run():
         return _conelp_solve(
             dims, factor=factor, Gf=Gf, GTf=GTf, Af=Af, ATf=ATf,
-            c=c, h=h, b=b, n=c.shape[0], p=p, dtype=dtype,
+            c=c, h=h, b=b, n=n_var, p=p, dtype=dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
             show_progress=show_progress, primalstart=ps, dualstart=ds)

@@ -149,3 +149,49 @@ def test_custom_kkt_qp_l1regls():
     on = np.abs(x) > 1e-6
     assert np.max(np.abs(g[on] + lam * np.sign(x[on]))) < 1e-4
     assert np.max(np.abs(g[~on])) <= lam + 1e-4
+
+
+def test_pytree_vector_space():
+    """Level-3 customization (coneprog.py:286-402): x as a PYTREE
+    vector space.  The l1 LP's variable (u, v) is kept as a dict
+    {'u': (n,), 'v': (m,)} throughout the solve."""
+    P, q = make_l1_data(m=40, n=12, seed=7)
+    m, n = P.shape
+    c = {"u": jnp.zeros(n), "v": jnp.ones(m)}
+    h = jnp.concatenate([q, -q])
+
+    def mv(x):
+        t = P @ x["u"]
+        return jnp.concatenate([t - x["v"], -t - x["v"]])
+
+    def rmv(z):
+        return {"u": P.T @ (z[:m] - z[m:]), "v": -(z[:m] + z[m:])}
+
+    G = LinearOperator(mv=mv, rmv=rmv, shape=(2 * m, n + m))
+
+    def Fkkt(W):
+        di = W["di"]
+        d1, d2 = di[:m] ** 2, di[m:] ** 2
+        D = d1 * d2 / (d1 + d2)
+        L = jnp.linalg.cholesky(4.0 * (P.T * D) @ P)
+
+        def solve(bx, by, bz):
+            r = bx["u"] + P.T @ ((d1 - d2) / (d1 + d2) * bx["v"]
+                                 + 2.0 * D * (bz[:m] - bz[m:]))
+            w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+            xu = jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+            t = P @ xu
+            xv = (bx["v"] - d1 * bz[:m] - d2 * bz[m:]
+                  + (d1 - d2) * t) / (d1 + d2)
+            z1 = di[:m] * (t - xv - bz[:m])
+            z2 = di[m:] * (-t - xv - bz[m:])
+            return ({"u": xu, "v": xv}, by,
+                    jnp.concatenate([z1, z2]))
+
+        return solve
+
+    sol = solvers.conelp(c, G, h, dims={"l": 2 * m}, kktsolver=Fkkt)
+    assert sol["status"] == "optimal"
+    xu = np.asarray(sol["x"]["u"])
+    ref = l1_dense(P, q)
+    np.testing.assert_allclose(xu, np.asarray(ref["x"])[:n], atol=1e-3)
