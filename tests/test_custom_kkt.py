@@ -195,3 +195,55 @@ def test_pytree_vector_space():
     xu = np.asarray(sol["x"]["u"])
     ref = l1_dense(P, q)
     np.testing.assert_allclose(xu, np.asarray(ref["x"])[:n], atol=1e-3)
+
+
+def test_qcl1_soc():
+    """qcl1 (examples/doc/chap8/qcl1.py): min ||u||_1 s.t.
+    ||Au - b||_2 <= 1 as a cone LP with an SOC block; also exercises a
+    custom kktsolver receiving SOC scaling entries (run-stacked
+    W['v']/W['beta'])."""
+    rng = np.random.default_rng(2)
+    m, n = 20, 6
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    b = b / (1.1 * np.linalg.norm(b))      # make feasible region roomy
+
+    c = np.concatenate([np.zeros(n), np.ones(n)])
+    I = np.eye(n)
+    G = np.zeros((2 * n + m + 1, 2 * n))
+    G[:n, :n] = I
+    G[:n, n:] = -I
+    G[n:2 * n, :n] = -I
+    G[n:2 * n, n:] = -I
+    G[2 * n + 1:, :n] = -A
+    h = np.zeros(2 * n + m + 1)
+    h[2 * n] = 1.0
+    h[2 * n + 1:] = -b
+    dims = {"l": 2 * n, "q": [m + 1], "s": []}
+
+    sol = solvers.conelp(c, G, h, dims)
+    assert sol["status"] == "optimal"
+    u = np.asarray(sol["x"])[:n]
+    r = A @ u - b
+    assert np.linalg.norm(r) <= 1.0 + 1e-6
+    assert abs(sol["primal objective"] - np.abs(u).sum()) < 1e-5
+
+    # custom kktsolver that receives the SOC W entries and checks the
+    # run-stacked format, then delegates to the library strategy
+    from cvxopt_tpu import kkt as kktmod
+    from cvxopt_tpu.cones import ConeDims
+    dims_t = ConeDims(l=2 * n, q=(m + 1,))
+    base_factor = kktmod.get_kktsolver(
+        "qr", jnp.asarray(G), dims_t, jnp.zeros((0, 2 * n)))
+    seen = {}
+
+    def Fkkt(W):
+        seen["v_shape"] = W["v"][0].shape
+        seen["beta_shape"] = W["beta"][0].shape
+        return base_factor(W)
+
+    sol2 = solvers.conelp(c, G, h, dims, kktsolver=Fkkt)
+    assert sol2["status"] == "optimal"
+    assert seen["v_shape"] == (1, m + 1)       # (count, m) run-stacked
+    assert seen["beta_shape"] == (1,)
+    np.testing.assert_allclose(np.asarray(sol2["x"])[:n], u, atol=1e-5)
