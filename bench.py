@@ -51,8 +51,10 @@ def bench_tpu(nb, n, dtype, tol, maxiters=50):
     from cvxopt_tpu.coneqp import make_coneqp
 
     dims = ConeDims(l=2 * n)
-    core = make_coneqp(dims, maxiters=maxiters, abstol=tol, reltol=tol,
-                       feastol=tol)
+    # 'chol2_inv': explicit-inverse factor — the TPU fast path (batched
+    # 1-RHS triangular solves are sequential-bound; see kkt.kkt_chol2)
+    core = make_coneqp(dims, kktsolver="chol2_inv", maxiters=maxiters,
+                       abstol=tol, reltol=tol, feastol=tol)
 
     # Problem data is generated ON DEVICE inside the jitted program
     # from a scalar seed: the remote-execution path ships input buffers
@@ -173,7 +175,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     n = int(os.environ.get("BENCH_N", 256))
-    nb = int(os.environ.get("BENCH_B", 256))
+    nb = int(os.environ.get("BENCH_B", 1024))
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:

@@ -454,6 +454,7 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
                 reltol: float = 1e-6, feastol: float = 1e-7,
                 refinement: Optional[int] = None,
                 kktreg: Optional[float] = None,
+                factor_dtype: Optional[str] = None,
                 show_progress: bool = False):
     """Build the jitted conelp core for a fixed cone structure.
 
@@ -465,7 +466,8 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
 
     def core(c, G, h, A, b):
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                      kktreg=kktreg)
+                                      kktreg=kktreg,
+                                      factor_dtype=factor_dtype)
         return _conelp_solve(
             dims, factor=factor,
             Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
@@ -481,8 +483,8 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
 def _prep_inputs(c, G, h, dims, A, b, dtype=None, allow_ops=False):
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    c_is_tree = not hasattr(c, "shape") and not isinstance(
-        c, (list, tuple)) or isinstance(c, dict)
+    c_is_tree = isinstance(c, dict) or (
+        not hasattr(c, "shape") and not isinstance(c, (list, tuple)))
     if c_is_tree:
         if not allow_ops:
             raise ValueError("pytree-valued c requires operator-form "

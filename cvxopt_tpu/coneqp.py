@@ -276,6 +276,7 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
                 refinement: Optional[int] = None,
                 kktreg: Optional[float] = None,
                 correction: bool = True,
+                factor_dtype: Optional[str] = None,
                 show_progress: bool = False):
     """Build the jitted coneqp core: f(P, q, G, h, A, b) -> result dict
     of arrays.  Cached per dims+options; the vmap entry point for the
@@ -285,7 +286,8 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
 
     def core(P, q, G, h, A, b):
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                      kktreg=kktreg)
+                                      kktreg=kktreg,
+                                      factor_dtype=factor_dtype)
         return _coneqp_solve(
             dims, factor_W=lambda W: factor(W, P),
             Pf=lambda x: P @ x,

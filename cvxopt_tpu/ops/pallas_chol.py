@@ -229,8 +229,15 @@ def fused_cholesky_solve(L, Dinv, B_rows):
 # (TB,1,1)-shaped reductions).  The production path therefore stays on
 # XLA's batched cholesky (measured on par: XLA 26.6 ms vs
 # single-instance-grid Pallas 41.8 ms for 256x n=256 factor+solve).
-# Planned fix: re-lay the batch tile along columns as a 2-D
-# (p, TB*p) block so every in-kernel op is rank-2.
+# Planned fix: re-lay the batch tile as 2-D stacked blocks
+# ((TB*p, p), with block-diagonal "spread" matmuls replacing per-block
+# scalar broadcasts) so every in-kernel op is rank-2.  Estimated gain
+# over XLA from in-kernel op counts: <=1.4x (the sequential panel
+# recurrences remain ~2.5K dependent vector ops per tile), so the
+# higher-leverage throughput lever is batch amortization: the
+# launch-bound per-iteration cost is nearly independent of batch
+# width, so doubling the vmapped batch nearly doubles iters/s until
+# the MXU saturates.
 
 
 def _unblocked_chol_b(A):

@@ -221,3 +221,22 @@ def test_batched_vmap_qp():
         assert np.max(np.abs(g)) < 1e-6
         assert x.min() > -1e-7 and z.min() > -1e-7
         assert abs(x @ z) < 1e-6
+
+
+def test_chol2_inv_matches_chol2():
+    """'chol2_inv' (explicit-inverse factor, the TPU fast path) agrees
+    with 'chol2' to machine precision."""
+    rng = np.random.default_rng(9)
+    n = 25
+    F = rng.standard_normal((n, n))
+    P = F @ F.T + np.eye(n)
+    q = rng.standard_normal(n)
+    G = -np.eye(n)
+    h = np.zeros(n)
+    A = np.ones((1, n))
+    b = np.array([1.0])
+    s1 = solvers.coneqp(P, q, G, h, A=A, b=b, kktsolver="chol2")
+    s2 = solvers.coneqp(P, q, G, h, A=A, b=b, kktsolver="chol2_inv")
+    assert s1["status"] == s2["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(s1["x"]), np.asarray(s2["x"]),
+                               rtol=1e-9, atol=1e-12)
