@@ -147,6 +147,58 @@ def bench_large_kkt(n=8192):
     return (time.time() - t0) / reps
 
 
+def bench_f64_mixed(nb=256, n=256):
+    """Accuracy mode: f64 residuals + f32 factorization (refinement=1)
+    — full 1e-7-class KKT accuracy on TPU.  Returns (iters_per_s,
+    solved, max_pres, max_dres)."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.coneqp import make_coneqp
+
+    dims = ConeDims(l=2 * n)
+    core = make_coneqp(dims, kktsolver="chol2_inv", maxiters=50,
+                       abstol=1e-7, reltol=1e-7, feastol=1e-7,
+                       refinement=1, factor_dtype="float32")
+    I = jnp.eye(n, dtype=jnp.float64)
+    G1 = jnp.concatenate([-I, I], axis=0)
+    h1 = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
+    A1 = jnp.ones((1, n), jnp.float64)
+    b1 = jnp.ones((1,), jnp.float64)
+
+    @jax.jit
+    def run(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), nb)
+
+        def gen(k):
+            kF, kq = jax.random.split(k)
+            F = jax.random.normal(kF, (n, n // 4), jnp.float64) \
+                / np.sqrt(n)
+            return (F @ F.T + 0.1 * I,
+                    -jax.random.uniform(kq, (n,), jnp.float64, 0., .1))
+
+        P, q = jax.vmap(gen)(keys)
+        out = jax.vmap(lambda Pk, qk: core(Pk, qk, G1, h1, A1, b1))(
+            P, q)
+        return (out["status"], out["iterations"],
+                jnp.max(out["pres"]), jnp.max(out["dres"]))
+
+    o = run(0)
+    np.asarray(o[0])
+    t0 = time.time()
+    reps, ti, solved = 2, 0, 0
+    for r in range(reps):
+        o = run(r + 1)
+        st = np.asarray(o[0])
+        solved += int((st == 0).sum())
+        ti += int(np.asarray(o[1]).sum())
+    dt = (time.time() - t0) / reps
+    return dict(iters_per_s=round(ti / reps / dt, 1),
+                solved=f"{solved}/{nb * reps}",
+                max_pres=float(o[2]), max_dres=float(o[3]))
+
+
 def bench_cpu_baseline(n, tol, k=3, maxiters=50):
     """Single-core reference iterations/s on identical instances."""
     from cvxopt_tpu._npref import coneqp_np
@@ -190,6 +242,9 @@ def main():
     large_ms = None
     if os.environ.get("BENCH_LARGE", "1") != "0":
         large_ms = round(bench_large_kkt() * 1e3, 1)
+    f64m = None
+    if on_tpu and os.environ.get("BENCH_F64", "1") != "0":
+        f64m = bench_f64_mixed()
     base = bench_cpu_baseline(n, tol if not on_tpu else 1e-7)
 
     result = {
@@ -205,6 +260,7 @@ def main():
         "compile_s": round(tpu["compile_s"], 1),
         "baseline_iters_per_s": round(base["iters_per_s"], 2),
         "kkt_factor_solve_ms_n8192": large_ms,
+        "f64_mixed_mode": f64m,
         "device": tpu["device"],
         "dtype": np.dtype(dtype).name,
     }
