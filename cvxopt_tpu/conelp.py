@@ -553,6 +553,7 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
             dims, kktsolver=kktsolver or "default", maxiters=maxiters,
             abstol=abstol, reltol=reltol, feastol=feastol,
             refinement=refinement, kktreg=opts.get("kktreg", None),
+            factor_dtype=opts.get("factor_dtype", None),
             show_progress=show_progress)
         raw = fn(c, G, h, A, b)
         return finalize_result(raw, dims)
@@ -589,8 +590,9 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
         factor = kktsolver
     else:
         kname, _ = _resolve_opts(dims, kktsolver, refinement)
-        factor = kktmod.get_kktsolver(kname, G, dims, A,
-                                      kktreg=opts.get("kktreg", None))
+        factor = kktmod.get_kktsolver(
+            kname, G, dims, A, kktreg=opts.get("kktreg", None),
+            factor_dtype=opts.get("factor_dtype", None))
     _, refinement = _resolve_opts(dims, "default", refinement)
 
     if primalstart is not None:

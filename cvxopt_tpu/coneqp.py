@@ -339,7 +339,9 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
             dims, kktsolver=kktsolver or "default", maxiters=maxiters,
             abstol=abstol, reltol=reltol, feastol=feastol,
             refinement=refinement, kktreg=opts.get("kktreg", None),
-            correction=correction, show_progress=show_progress)
+            correction=correction,
+            factor_dtype=opts.get("factor_dtype", None),
+            show_progress=show_progress)
         raw = fn(P, q, G, h, A, b)
         return finalize_qp_result(raw)
 
@@ -368,8 +370,9 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
         factor_W = kktsolver
     else:
         kname, _ = _resolve_qp_opts(dims, kktsolver, refinement)
-        factor = kktmod.get_kktsolver(kname, G, dims, A,
-                                      kktreg=opts.get("kktreg", None))
+        factor = kktmod.get_kktsolver(
+            kname, G, dims, A, kktreg=opts.get("kktreg", None),
+            factor_dtype=opts.get("factor_dtype", None))
         factor_W = lambda W: factor(W, P)
     _, refinement = _resolve_qp_opts(dims, "default", refinement)
 

@@ -9,12 +9,15 @@ relaxations.
 
 I: indices of integer variables; B: indices of binary variables (0/1
 bounds added automatically).  Status strings follow the reference:
-'optimal', 'primal infeasible', 'dual infeasible' (relaxation
-unbounded), 'unknown' (node limit).
+'optimal', 'LP relaxation is primal infeasible' (tests/test_glpk.py:46),
+'LP relaxation is dual infeasible', 'unknown' (node limit).
 
-A planned TPU-native upgrade is batching open nodes through the
-vmapped solver (solve many relaxations per device call); this v1
-explores nodes sequentially.
+TPU-native design: every node's relaxation has the SAME shape — branch
+bounds are expressed as per-integer-variable box rows ``lo <= x_j <=
+hi`` appended to G, so node relaxations differ only in the h vector.
+Up to ``node_batch`` open nodes are therefore solved per device call
+through the jit-cached, vmapped conelp core (the B&B analogue of the
+batched-scenario solving the framework is built around).
 """
 
 from __future__ import annotations
@@ -23,13 +26,18 @@ import heapq
 from typing import Optional, Sequence
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
-from cvxopt_tpu.conelp import conelp
+from cvxopt_tpu.cones import ConeDims
+from cvxopt_tpu.conelp import make_conelp, STATUS_OPTIMAL, \
+    STATUS_PRIMAL_INFEASIBLE, STATUS_DUAL_INFEASIBLE
 
 
 def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         B: Optional[Sequence[int]] = None, options=None,
-        max_nodes: int = 1000, int_tol: float = 1e-6):
+        max_nodes: int = 1000, int_tol: float = 1e-6,
+        node_batch: int = 8, bound: float = 1e6):
     c = np.asarray(c, dtype=float).reshape(-1)
     n = c.shape[0]
     G = np.asarray(G, dtype=float).reshape(-1, n)
@@ -37,77 +45,109 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
     I = sorted(set(int(i) for i in (I or [])) |
                set(int(i) for i in (B or [])))
     B = sorted(set(int(i) for i in (B or [])))
-    if B:
-        rows = np.zeros((2 * len(B), n))
-        hb = np.zeros(2 * len(B))
-        for k, j in enumerate(B):
-            rows[2 * k, j] = 1.0        # x_j <= 1
-            hb[2 * k] = 1.0
-            rows[2 * k + 1, j] = -1.0   # -x_j <= 0
-        G = np.concatenate([G, rows])
-        h = np.concatenate([h, hb])
-
     opts = dict(options or {})
     opts.setdefault("show_progress", False)
+    ni = len(I)
 
-    def solve_relax(extraG, extrah):
-        Gk = np.concatenate([G] + extraG) if extraG else G
-        hk = np.concatenate([h] + extrah) if extrah else h
-        return conelp(c, Gk, hk, A=A, b=b, options=opts)
+    if A is None:
+        A = np.zeros((0, n))
+        b = np.zeros(0)
+    else:
+        A = np.asarray(A, dtype=float).reshape(-1, n)
+        b = np.asarray(b, dtype=float).reshape(-1)
 
-    root = solve_relax([], [])
-    if root["status"] == "primal infeasible":
-        # reference status string (tests/test_glpk.py:46)
+    # fixed-shape relaxation: box rows for every integer variable
+    rows = np.zeros((2 * ni, n))
+    for k, j in enumerate(I):
+        rows[k, j] = 1.0               # x_j <= hi_k
+        rows[ni + k, j] = -1.0         # -x_j <= -lo_k
+    Gx = np.concatenate([G, rows]) if ni else G
+    lo0 = np.full(ni, -bound)
+    hi0 = np.full(ni, bound)
+    for k, j in enumerate(I):
+        if j in B:
+            lo0[k], hi0[k] = 0.0, 1.0
+
+    dims = ConeDims(l=Gx.shape[0])
+    core = make_conelp(
+        dims,
+        maxiters=int(opts.get("maxiters", 100)),
+        abstol=float(opts.get("abstol", 1e-7)),
+        reltol=float(opts.get("reltol", 1e-6)),
+        feastol=float(opts.get("feastol", 1e-7)))
+    cj = jnp.asarray(c)
+    Gj = jnp.asarray(Gx)
+    Aj = jnp.asarray(A)
+    bj = jnp.asarray(b)
+    vcore = jax.jit(jax.vmap(lambda h_: core(cj, Gj, h_, Aj, bj)))
+
+    def solve_nodes(bounds):
+        """bounds: list of (lo, hi); returns per-node (status, obj, x)."""
+        hs = np.stack([np.concatenate([h, hi, -lo])
+                       for lo, hi in bounds]) if ni else \
+            np.stack([h for _ in bounds])
+        out = vcore(jnp.asarray(hs))
+        return (np.asarray(out["status"]), np.asarray(out["pcost"]),
+                np.asarray(out["x"]))
+
+    # root
+    st, obj, xs = solve_nodes([(lo0, hi0)])
+    if st[0] == STATUS_PRIMAL_INFEASIBLE:
         return "LP relaxation is primal infeasible", None
-    if root["status"] == "dual infeasible":
+    if st[0] == STATUS_DUAL_INFEASIBLE:
         return "LP relaxation is dual infeasible", None
-    if root["status"] != "optimal":
+    if st[0] != STATUS_OPTIMAL:
         return "unknown", None
     if not I:
-        return "optimal", np.asarray(root["x"])
+        return "optimal", xs[0]
 
     best_obj = np.inf
     best_x = None
     counter = 0
-    heap = [(root["primal objective"], counter, [], [],
-             np.asarray(root["x"]))]
+    heap = [(obj[0], 0, lo0, hi0, xs[0])]
     nodes = 0
 
     while heap and nodes < max_nodes:
-        bound, _, eG, eh, x = heapq.heappop(heap)
-        if bound >= best_obj - 1e-9:
-            continue
-        nodes += 1
-        frac = np.array([abs(x[j] - round(x[j])) for j in I])
-        if frac.max() <= int_tol:
-            obj = float(c @ x)
-            if obj < best_obj:
-                best_obj = obj
-                best_x = x.copy()
-                for j in I:
-                    best_x[j] = round(best_x[j])
-            continue
-        j = I[int(np.argmax(frac))]
-        lo = np.floor(x[j])
-        for sense in ("down", "up"):
-            row = np.zeros((1, n))
-            if sense == "down":
-                row[0, j] = 1.0
-                rhs = np.array([lo])
-            else:
-                row[0, j] = -1.0
-                rhs = np.array([-(lo + 1.0)])
-            sol = solve_relax(eG + [row], eh + [rhs])
-            if sol["status"] != "optimal":
+        # pop up to node_batch most promising nodes
+        batch = []
+        while heap and len(batch) < node_batch:
+            bound_val, _, lo, hi, x = heapq.heappop(heap)
+            if bound_val >= best_obj - 1e-9:
                 continue
-            obj = sol["primal objective"]
-            if obj < best_obj - 1e-9:
+            frac = np.array([abs(x[j] - round(x[j])) for j in I])
+            if frac.max() <= int_tol:
+                o = float(c @ x)
+                if o < best_obj:
+                    best_obj = o
+                    best_x = x.copy()
+                    for j in I:
+                        best_x[j] = round(best_x[j])
+                continue
+            k = int(np.argmax(frac))
+            j = I[k]
+            f = np.floor(x[j])
+            lo_up = lo.copy()
+            lo_up[k] = f + 1.0
+            hi_dn = hi.copy()
+            hi_dn[k] = f
+            if hi_dn[k] >= lo[k]:
+                batch.append((lo.copy(), hi_dn))
+            if lo_up[k] <= hi[k]:
+                batch.append((lo_up, hi))
+        if not batch:
+            continue
+        nodes += len(batch)
+        st, obj, xs = solve_nodes(batch)
+        for i, (lo, hi) in enumerate(batch):
+            if st[i] != STATUS_OPTIMAL:
+                continue
+            if obj[i] < best_obj - 1e-9:
                 counter += 1
-                heapq.heappush(heap, (obj, counter, eG + [row],
-                                      eh + [rhs], np.asarray(sol["x"])))
+                heapq.heappush(
+                    heap, (obj[i], counter, lo, hi, xs[i]))
 
     if best_x is not None:
         return "optimal", best_x
-    if nodes >= max_nodes:
+    if nodes >= max_nodes and heap:
         return "unknown", None
     return "primal infeasible", None

@@ -13,5 +13,7 @@ new-capability layer mandated by the north star:
 from cvxopt_tpu.parallel.mesh import (
     make_mesh, shard_batch, sharded_batch_solve,
 )
+from cvxopt_tpu.parallel import collectives
 
-__all__ = ["make_mesh", "shard_batch", "sharded_batch_solve"]
+__all__ = ["make_mesh", "shard_batch", "sharded_batch_solve",
+           "collectives"]

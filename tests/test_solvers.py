@@ -240,3 +240,23 @@ def test_chol2_inv_matches_chol2():
     assert s1["status"] == s2["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(s1["x"]), np.asarray(s2["x"]),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_mixed_precision_factor():
+    """options['factor_dtype'] = 'float32' with refinement recovers
+    f64-level KKT residuals (the TPU 1e-7 accuracy mode)."""
+    rng = np.random.default_rng(11)
+    n = 30
+    F = rng.standard_normal((n, n))
+    P = F @ F.T + np.eye(n)
+    q = rng.standard_normal(n)
+    G = -np.eye(n)
+    h = np.zeros(n)
+    sol = solvers.coneqp(P, q, G, h, kktsolver="chol2_inv",
+                         options={"factor_dtype": "float32",
+                                  "refinement": 1})
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])
+    z = np.asarray(sol["z"])
+    res = P @ x + q - z
+    assert np.abs(res).max() < 1e-9
