@@ -126,29 +126,80 @@ def test_operator_without_kkt_raises():
 
 
 def test_custom_kkt_qp_l1regls():
-    """l1-regularized least squares QP with a custom KKT solver
-    (examples/doc/chap8/l1regls.py pattern, via coneqp path): here we
-    just verify the dense path solves it and satisfies optimality."""
+    """l1-regularized least squares via coneqp with OPERATOR P/G and a
+    custom kktsolver exploiting the diagonal+low-rank structure
+    (examples/doc/chap8/l1regls.py; reference tests/test_custom_kkt.py
+    cross-checks this path), compared to the dense default path."""
+    import jax.scipy.linalg as jsl
     rng = np.random.default_rng(5)
-    m, n = 30, 12
-    A = rng.standard_normal((m, n))
-    b = rng.standard_normal(m)
-    lam = 1.0
-    # min ||Ax-b||^2 + lam*||x||_1 as QP in (x, t):
-    P = np.zeros((2 * n, 2 * n))
-    P[:n, :n] = 2 * A.T @ A
-    q = np.concatenate([-2 * A.T @ b, lam * np.ones(n)])
-    I = np.eye(n)
-    G = np.block([[I, -I], [-I, -I]])
-    h = np.zeros(2 * n)
-    sol = solvers.coneqp(P, q, G, h)
+    m, n = 20, 40                       # m < n: the SMW trick pays off
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    yv = jnp.asarray(rng.standard_normal(m))
+
+    q = jnp.concatenate([-2.0 * A.T @ yv, jnp.ones(n)])
+
+    def Pmv(u):
+        return jnp.concatenate([2.0 * A.T @ (A @ u[:n]),
+                                jnp.zeros(n)])
+
+    def Gmv(u):
+        return jnp.concatenate([u[:n] - u[n:], -u[:n] - u[n:]])
+
+    def Grmv(z):
+        return jnp.concatenate([z[:n] - z[n:], -(z[:n] + z[n:])])
+
+    P = LinearOperator(mv=Pmv, rmv=Pmv, shape=(2 * n, 2 * n))
+    G = LinearOperator(mv=Gmv, rmv=Grmv, shape=(2 * n, 2 * n))
+    h = jnp.zeros(2 * n)
+
+    def Fkkt(W):
+        # (l1regls.py:41-76): eliminate zl and x[n:], then solve
+        # (A'A + D) x = rhs via Sherman-Morrison-Woodbury with the
+        # m x m system (A D^-1 A' + I) v = A D^-1 rhs.
+        d1 = W["di"][:n] ** 2
+        d2 = W["di"][n:] ** 2
+        D = 4.0 * d1 * d2 / (d1 + d2)
+        ds = (d2 - d1) / (d1 + d2)
+        Asc = A / jnp.sqrt(D)[None, :]
+        S = jnp.eye(m) + 2.0 * (Asc @ Asc.T)
+        L = jnp.linalg.cholesky(S)
+
+        def solve(bx, by, bz):
+            xn = bx[:n] - ds * bx[n:] \
+                + d1 * (1.0 + ds) * bz[:n] - d2 * (1.0 - ds) * bz[n:]
+            rhs = xn / D
+            v = jsl.solve_triangular(
+                L.T, jsl.solve_triangular(L, A @ rhs, lower=True),
+                lower=False)
+            x1 = rhs - (A.T @ v) * (2.0 / D)
+            x2 = (bx[n:] - d1 * bz[:n] - d2 * bz[n:]) / (d1 + d2) \
+                - ds * x1
+            z1 = W["di"][:n] * (x1 - x2 - bz[:n])
+            z2 = W["di"][n:] * (-x1 - x2 - bz[n:])
+            return (jnp.concatenate([x1, x2]), by,
+                    jnp.concatenate([z1, z2]))
+
+        return solve
+
+    sol = solvers.coneqp(P, q, G, h, dims={"l": 2 * n},
+                         kktsolver=Fkkt)
     assert sol["status"] == "optimal"
     x = np.asarray(sol["x"])[:n]
-    # subgradient optimality of the l1 problem
-    g = 2 * A.T @ (A @ x - b)
+
+    # dense reference path
+    Pd = np.zeros((2 * n, 2 * n))
+    Pd[:n, :n] = 2 * np.asarray(A).T @ np.asarray(A)
+    I = np.eye(n)
+    Gd = np.block([[I, -I], [-I, -I]])
+    sol_d = solvers.coneqp(Pd, np.asarray(q), Gd, np.zeros(2 * n))
+    assert sol_d["status"] == "optimal"
+    np.testing.assert_allclose(x, np.asarray(sol_d["x"])[:n],
+                               atol=1e-5)
+    # optimality conditions of min ||Ax-y||^2 + ||x||_1
+    g = 2 * np.asarray(A).T @ (np.asarray(A) @ x - np.asarray(yv))
     on = np.abs(x) > 1e-6
-    assert np.max(np.abs(g[on] + lam * np.sign(x[on]))) < 1e-4
-    assert np.max(np.abs(g[~on])) <= lam + 1e-4
+    assert np.max(np.abs(g[on] + np.sign(x[on]))) < 1e-4
+    assert np.max(np.abs(g[~on])) <= 1.0 + 1e-4
 
 
 def test_pytree_vector_space():
