@@ -151,16 +151,25 @@ def lu_linsolve(A, B):
 
 def amd_order(A):
     """Approximate-minimum-degree-style fill-reducing ordering
-    (amd.order, amd.c:226).  Host-side greedy minimum-degree on the
-    symmetrized sparsity pattern."""
+    (amd.order, amd.c:226).  Host-side minimum-degree on the
+    symmetrized sparsity pattern — runs the native C implementation
+    (cvxopt_tpu/native/mindeg.c) when a toolchain is available, with
+    this pure-Python fallback otherwise (the reference's C-with-
+    Python-fallback house pattern, misc.py:25-28)."""
     import scipy.sparse as sp
     if hasattr(A, "todense") or sp.issparse(A):
         S = sp.csr_matrix(A if sp.issparse(A)
                           else np.asarray(A.todense()))
     else:
         S = sp.csr_matrix(np.asarray(A) != 0)
-    S = ((S + S.T) != 0).tolil()
-    n = S.shape[0]
+    Ssym = ((S + S.T) != 0)
+    n = Ssym.shape[0]
+    from cvxopt_tpu import native
+    csr = Ssym.tocsr()
+    perm = native.mindeg_order(csr.indptr, csr.indices, n)
+    if perm is not None:
+        return perm.astype(np.int64)
+    S = Ssym.tolil()
     deg = np.array([len(r) for r in S.rows])
     alive = np.ones(n, bool)
     order = []

@@ -242,3 +242,35 @@ def test_base_constructors():
     np.testing.assert_allclose(np.asarray(div([4.], [2.])), [2.])
     np.testing.assert_allclose(np.asarray(emax([1., 5.], [2., 3.])),
                                [2., 5.])
+
+
+def test_native_mindeg_matches_python():
+    """The native C minimum-degree ordering (cvxopt_tpu/native) agrees
+    in semantics with the Python fallback: both produce valid
+    permutations with comparable Cholesky fill."""
+    import scipy.sparse as sp
+    from cvxopt_tpu import native
+
+    rng2 = np.random.default_rng(3)
+    n = 40
+    A = sp.random(n, n, density=0.08, random_state=7)
+    A = ((A + A.T) != 0).tocsr()
+    A = A + sp.eye(n)
+
+    perm_c = native.mindeg_order(A.indptr.astype(np.int32),
+                                 A.indices.astype(np.int32), n)
+    if perm_c is None:
+        pytest.skip("no C toolchain available")
+    assert sorted(perm_c.tolist()) == list(range(n))
+
+    # fill comparison: ordered factor should not be denser than natural
+    D = np.asarray(A.todense(), dtype=float) + n * np.eye(n)
+
+    def fill(perm):
+        M = D[np.ix_(perm, perm)]
+        L = np.linalg.cholesky(M)
+        return (np.abs(L) > 1e-12).sum()
+
+    natural = fill(np.arange(n))
+    ordered = fill(np.asarray(perm_c))
+    assert ordered <= natural * 1.1
