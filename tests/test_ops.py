@@ -274,3 +274,23 @@ def test_native_mindeg_matches_python():
     natural = fill(np.arange(n))
     ordered = fill(np.asarray(perm_c))
     assert ordered <= natural * 1.1
+
+
+def test_base_complex_elementwise():
+    """Complex ('z' typecode) elementwise support in base
+    (reference tests/test_basic.py complex semantics)."""
+    z = base.matrix(np.array([1 + 2j, -1j]), (2, 1), tc="z")
+    assert np.iscomplexobj(np.asarray(z))
+    np.testing.assert_allclose(np.asarray(base.exp(z)),
+                               np.exp(np.asarray(z)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(base.mul(z, z)),
+                               np.asarray(z) ** 2, rtol=1e-12)
+    # complex blas
+    x = jnp.asarray(np.array([1 + 1j, 2 - 1j]))
+    y = jnp.asarray(np.array([1j, 1.0]))
+    np.testing.assert_allclose(complex(blas.dotu(x, y)),
+                               np.sum(np.asarray(x) * np.asarray(y)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(complex(blas.dot(x, y)),
+                               np.vdot(np.asarray(x), np.asarray(y)),
+                               rtol=1e-12)

@@ -260,3 +260,37 @@ def test_mixed_precision_factor():
     z = np.asarray(sol["z"])
     res = P @ x + q - z
     assert np.abs(res).max() < 1e-9
+
+
+def test_soc_dimension_one():
+    """Edge case: SOC blocks of dimension 1 (= nonnegative rays)."""
+    # min -x0 - x1 s.t. x in SOC(1) x SOC(1) shifted: x <= 1 each
+    c = np.array([-1.0, -1.0])
+    G = np.concatenate([-np.eye(2), np.eye(2)])
+    h = np.array([0.0, 0.0, 1.0, 1.0])
+    sol = solvers.conelp(c, G, h,
+                         dims={"l": 2, "q": [1, 1], "s": []})
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [1.0, 1.0],
+                               atol=1e-6)
+
+
+def test_mixed_q_s_cone():
+    """A problem with simultaneous l, q and multiple unequal s blocks
+    (exercises multi-run bookkeeping)."""
+    rng = np.random.default_rng(13)
+    n = 4
+    dims = {"l": 2, "q": [3, 4], "s": [2, 3]}
+    cdim = 2 + 3 + 4 + 4 + 9
+    # feasible by construction: pick interior s0, z0 and derive h, c
+    from cvxopt_tpu.cones import ConeDims, cone_identity
+    cd = ConeDims.from_dict(dims)
+    G = rng.standard_normal((cdim, n))
+    x0 = rng.standard_normal(n)
+    e = np.asarray(cone_identity(cd))
+    h = G @ x0 + 2.0 * e           # s = 2e interior
+    z0 = e.copy()
+    c = -G.T @ z0                  # dual feasible with y empty
+    sol = solvers.conelp(c, G, h, dims)
+    assert sol["status"] == "optimal"
+    assert sol["gap"] < 1e-5
