@@ -172,3 +172,30 @@ def test_cpl_custom_kktsolver():
     np.testing.assert_allclose(np.asarray(sol_c["x"]),
                                np.asarray(sol_d["x"]), rtol=1e-6,
                                atol=1e-7)
+
+
+def test_cpl_with_soc_cone():
+    """cpl with BOTH a nonlinear block and an SOC constraint — the
+    'dnl' + 'q' scaling combination (misc.py:65-115 with mnl > 0):
+    minimize c'x  s.t.  sum(exp(x)) <= K,  ||x||_2 <= 1."""
+    n = 5
+    rng = np.random.default_rng(8)
+    c = rng.standard_normal(n)
+
+    def F(x):
+        return jnp.array([jnp.sum(jnp.exp(x)) - 20.0])
+
+    # SOC rows: s = (1, x) in SOC(n+1)  <=>  ||x|| <= 1
+    G = np.zeros((n + 1, n))
+    G[1:, :] = -np.eye(n)
+    h = np.zeros(n + 1)
+    h[0] = 1.0
+    dims = {"l": 0, "q": [n + 1], "s": []}
+    sol = cpl(c, F, np.zeros(n), G, h, dims)
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])
+    assert np.linalg.norm(x) <= 1.0 + 1e-6
+    assert float(np.sum(np.exp(x))) <= 20.0 + 1e-5
+    # the exp constraint is slack here, so the solution is the
+    # negative unit vector along c
+    np.testing.assert_allclose(x, -c / np.linalg.norm(c), atol=1e-4)
