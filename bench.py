@@ -16,7 +16,7 @@ same JSON line.
 
 import os
 
-os.environ.setdefault("OMP_NUM_THREADS", "4")
+os.environ.setdefault("OMP_NUM_THREADS", "1")  # single-core baseline, as stated
 
 import json
 import sys
