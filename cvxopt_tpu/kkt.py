@@ -101,49 +101,89 @@ def kkt_lu(G, dims: ConeDims, A, mnl: int = 0, kktreg: Optional[float] = None):
     return factor
 
 
-def kkt_chol(G, dims: ConeDims, A, mnl: int = 0):
+def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
+             explicit_inverse: bool = False, factor_dtype=None):
     """QR of A' to eliminate equality constraints, then dense Cholesky
     of Q2'(H + GG'W^{-1}W^{-T}GG)Q2 (reference kkt_chol,
     misc.py:1213-1350).  The coneqp/cpl default for 'q'/'s' cones
-    (coneprog.py:1805-1809)."""
+    (coneprog.py:1805-1809).
+
+    With ``explicit_inverse=True`` ('chol_inv'), the reduced-system
+    inverse K^{-1} (and R^{-1} for the equality block, which is fixed
+    across iterations) is formed once per factor with MXU-efficient
+    n-RHS triangular solves, turning every per-iteration solve into
+    batched matmuls — on TPU, batched 1-RHS triangular solves are
+    sequential-bound (~3 GFLOP/s) while matmuls run at MXU rates.
+    ``factor_dtype`` factors in reduced precision (f32 on TPU) while
+    the solver's f64 iterative refinement recovers full accuracy."""
     p, n = A.shape
     if p:
         Q, R = jnp.linalg.qr(A.T, mode="complete")       # A' = Q [R; 0]
         Q1, Q2 = Q[:, :p], Q[:, p:]
         R = R[:p, :]
+        Rinv = (jsl.solve_triangular(R, jnp.eye(p, dtype=G.dtype),
+                                     lower=False)
+                if explicit_inverse else None)
     else:
         Q1 = jnp.zeros((n, 0), dtype=G.dtype)
         Q2 = jnp.eye(n, dtype=G.dtype)
         R = jnp.zeros((0, 0), dtype=G.dtype)
+        Rinv = None
 
     def factor(W, H=None, Df=None):
         GG = _stack_gg(G, Df)
         Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
+        io_dtype = Gs.dtype
+        if factor_dtype is not None:
+            Gs = Gs.astype(factor_dtype)
         S = Gs.T @ Gs
         if H is not None:
-            S = S + H
-        K = Q2.T @ S @ Q2                                # (n-p, n-p)
+            S = S + H.astype(S.dtype)
+        Q1f, Q2f = Q1.astype(S.dtype), Q2.astype(S.dtype)
+        K = Q2f.T @ S @ Q2f                              # (n-p, n-p)
         L = jnp.linalg.cholesky(K)
+
+        if explicit_inverse:
+            Linv = jsl.solve_triangular(
+                L, jnp.eye(n - p, dtype=L.dtype), lower=True)
+            Kinv_mat = Linv.T @ Linv
+
+            def Kinv(v):
+                return Kinv_mat @ v
+        else:
+            def Kinv(v):
+                w = jsl.solve_triangular(L, v, lower=True)
+                return jsl.solve_triangular(L.T, w, lower=False)
 
         def solve(bx, by, bz):
             # rhs r = bx + GG' W^{-1} W^{-T} bz
             zs = scale(bz, W, dims, trans="T", inverse="I")
-            r = bx + Gs.T @ zs
+            r = (bx + Gs.astype(io_dtype).T @ zs).astype(S.dtype)
+            byf = by.astype(S.dtype)
             if p:
                 # v1 from A ux = by:  R' v1 = by
-                v1 = jsl.solve_triangular(R.T, by, lower=True)
-                rhs2 = Q2.T @ (r - S @ (Q1 @ v1))
+                if explicit_inverse:
+                    v1 = Rinv.astype(S.dtype).T @ byf
+                else:
+                    v1 = jsl.solve_triangular(
+                        R.astype(S.dtype).T, byf, lower=True)
+                rhs2 = Q2f.T @ (r - S @ (Q1f @ v1))
             else:
-                v1 = by
-                rhs2 = Q2.T @ r
-            w = jsl.solve_triangular(L, rhs2, lower=True)
-            v2 = jsl.solve_triangular(L.T, w, lower=False)
-            ux = Q2 @ v2 + (Q1 @ v1 if p else 0.0)
+                v1 = byf
+                rhs2 = Q2f.T @ r
+            v2 = Kinv(rhs2)
+            ux = Q2f @ v2 + (Q1f @ v1 if p else 0.0)
             if p:
-                uy = jsl.solve_triangular(
-                    R, Q1.T @ (r - S @ ux), lower=False)
+                ry = Q1f.T @ (r - S @ ux)
+                if explicit_inverse:
+                    uy = Rinv.astype(S.dtype) @ ry
+                else:
+                    uy = jsl.solve_triangular(
+                        R.astype(S.dtype), ry, lower=False)
             else:
-                uy = by
+                uy = byf
+            ux = ux.astype(io_dtype)
+            uy = uy.astype(io_dtype)
             # W uz = W^{-T} (GG ux - bz)
             Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
             return ux, uy, Wuz
@@ -226,21 +266,33 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
     return factor
 
 
-def kkt_qr(G, dims: ConeDims, A, mnl: int = 0):
+def kkt_qr(G, dims: ConeDims, A, mnl: int = 0,
+           explicit_inverse: bool = False, factor_dtype=None):
     """Zero-(1,1)-block KKT solve by two QR factorizations (reference
     kkt_qr, misc.py:1570-1697) — the conelp default for 'q'/'s' cones
     (coneprog.py:458-462): QR of A' eliminates the equalities, then a
     QR of W^{-T}G·Q2 (packed columns) solves the reduced system without
-    forming normal equations (no condition-number squaring)."""
+    forming normal equations (no condition-number squaring).
+
+    ``explicit_inverse=True`` ('qr_inv') forms R3^{-1} (and R1^{-1},
+    fixed across iterations) once per factor so the per-iteration
+    solves are batched matmuls instead of sequential 1-RHS triangular
+    solves — the TPU fast path (see kkt_chol2 notes).  ``factor_dtype``
+    runs the QR and solves in reduced precision; conelp's f64
+    iterative refinement recovers accuracy."""
     p, n = A.shape
     if p:
         Q, RA = jnp.linalg.qr(A.T, mode="complete")      # A' = Q [R1; 0]
         Q1, Q2 = Q[:, :p], Q[:, p:]
         R1 = RA[:p, :]
+        R1inv = (jsl.solve_triangular(R1, jnp.eye(p, dtype=G.dtype),
+                                      lower=False)
+                 if explicit_inverse else None)
     else:
         Q1 = jnp.zeros((n, 0), dtype=G.dtype)
         Q2 = jnp.eye(n, dtype=G.dtype)
         R1 = jnp.zeros((0, 0), dtype=G.dtype)
+        R1inv = None
 
     def factor(W, H=None, Df=None):
         if H is not None:
@@ -249,29 +301,66 @@ def kkt_qr(G, dims: ConeDims, A, mnl: int = 0):
         GG = _stack_gg(G, Df)
         Gs = pack_matrix_cols(
             scale_rows(GG, W, dims, trans="T", inverse="I"), dims)
-        Gs1 = Gs @ Q1                                    # (pdim, p)
-        Q3, R3 = jnp.linalg.qr(Gs @ Q2, mode="reduced")  # (pdim, n-p)
+        io_dtype = Gs.dtype
+        if factor_dtype is not None:
+            Gs = Gs.astype(factor_dtype)
+        Q1f, Q2f = Q1.astype(Gs.dtype), Q2.astype(Gs.dtype)
+        Gs1 = Gs @ Q1f                                   # (pdim, p)
+        Q3, R3 = jnp.linalg.qr(Gs @ Q2f, mode="reduced")  # (pdim, n-p)
+
+        if explicit_inverse:
+            R3inv = jsl.solve_triangular(
+                R3, jnp.eye(n - p, dtype=R3.dtype), lower=False)
+            R1f = R1inv.astype(Gs.dtype) if p else None
+
+            def solve_R3T(v):
+                return R3inv.T @ v
+
+            def solve_R3(v):
+                return R3inv @ v
+
+            def solve_R1T(v):
+                return R1f.T @ v
+
+            def solve_R1(v):
+                return R1f @ v
+        else:
+            R1c = R1.astype(Gs.dtype)
+
+            def solve_R3T(v):
+                return jsl.solve_triangular(R3.T, v, lower=True)
+
+            def solve_R3(v):
+                return jsl.solve_triangular(R3, v, lower=False)
+
+            def solve_R1T(v):
+                return jsl.solve_triangular(R1c.T, v, lower=True)
+
+            def solve_R1(v):
+                return jsl.solve_triangular(R1c, v, lower=False)
 
         def solve(bx, by, bz):
-            bzp = pack(scale(bz, W, dims, trans="T", inverse="I"), dims)
+            bzp = pack(scale(bz, W, dims, trans="T", inverse="I"),
+                       dims).astype(Gs.dtype)
+            bxf = bx.astype(Gs.dtype)
             if p:
-                v1 = jsl.solve_triangular(R1.T, by, lower=True)
+                v1 = solve_R1T(by.astype(Gs.dtype))
                 w = bzp - Gs1 @ v1
             else:
-                v1 = by
+                v1 = by.astype(Gs.dtype)
                 w = bzp
-            vv2 = jsl.solve_triangular(R3.T, Q2.T @ bx, lower=True)
+            vv2 = solve_R3T(Q2f.T @ bxf)
             u = Q3.T @ w + vv2
             Wz = Q3 @ u - w
             if p:
-                uy = jsl.solve_triangular(
-                    R1, Q1.T @ bx - Gs1.T @ Wz, lower=False)
+                uy = solve_R1(Q1f.T @ bxf - Gs1.T @ Wz)
             else:
-                uy = by
-            ux = Q2 @ jsl.solve_triangular(R3, u, lower=False)
+                uy = by.astype(Gs.dtype)
+            ux = Q2f @ solve_R3(u)
             if p:
-                ux = ux + Q1 @ v1
-            return ux, uy, unpack(Wz, dims)
+                ux = ux + Q1f @ v1
+            return (ux.astype(io_dtype), uy.astype(io_dtype),
+                    unpack(Wz.astype(io_dtype), dims))
 
         return solve
 
@@ -288,9 +377,15 @@ def get_kktsolver(name: str, G, dims: ConeDims, A, mnl: int = 0,
     if name in ("ldl", "ldl2"):
         return kkt_lu(G, dims, A, mnl=mnl, kktreg=kktreg)
     if name == "qr":
-        return kkt_qr(G, dims, A, mnl=mnl)
+        return kkt_qr(G, dims, A, mnl=mnl, factor_dtype=factor_dtype)
+    if name == "qr_inv":
+        return kkt_qr(G, dims, A, mnl=mnl, explicit_inverse=True,
+                      factor_dtype=factor_dtype)
     if name == "chol":
-        return kkt_chol(G, dims, A, mnl=mnl)
+        return kkt_chol(G, dims, A, mnl=mnl, factor_dtype=factor_dtype)
+    if name == "chol_inv":
+        return kkt_chol(G, dims, A, mnl=mnl, explicit_inverse=True,
+                        factor_dtype=factor_dtype)
     if name == "chol2":
         return kkt_chol2(G, dims, A, mnl=mnl,
                          factor_dtype=factor_dtype)

@@ -294,3 +294,89 @@ def test_mixed_q_s_cone():
     sol = solvers.conelp(c, G, h, dims)
     assert sol["status"] == "optimal"
     assert sol["gap"] < 1e-5
+
+
+def test_chol_inv_matches_chol():
+    """'chol_inv' (explicit-inverse reduced factor, the TPU fast path
+    for q/s cones) agrees with 'chol' on a SOCP-with-equalities QP."""
+    rng = np.random.default_rng(21)
+    n = 8
+    F = rng.standard_normal((n, n))
+    P = F @ F.T + np.eye(n)
+    q = rng.standard_normal(n)
+    # l-box plus one SOC(n+1) norm bound, one equality
+    I = np.eye(n)
+    G = np.concatenate([-I, np.zeros((1, n)), I], axis=0)
+    h = np.array(n * [0.0] + [2.0] + n * [0.0])
+    A = np.ones((1, n))
+    b = np.array([1.0])
+    dims = {"l": n, "q": [n + 1], "s": []}
+    s1 = solvers.coneqp(P, q, G, h, dims, A=A, b=b, kktsolver="chol")
+    s2 = solvers.coneqp(P, q, G, h, dims, A=A, b=b,
+                        kktsolver="chol_inv")
+    assert s1["status"] == s2["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(s1["x"]), np.asarray(s2["x"]),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_qr_inv_matches_qr():
+    """'qr_inv' agrees with 'qr' (conelp q/s default) on the doc
+    conelp problem (l, 2 SOC blocks, 1 PSD block)."""
+    cols = [
+        [16., 7., 24., -8., 8., -1., 0., -1., 0., 0., 7., -5., 1., -5.,
+         1., -7., 1., -7., -4.],
+        [-14., 2., 7., -13., -18., 3., 0., 0., -1., 0., 3., 13., -6.,
+         13., 12., -10., -6., -10., -28.],
+        [5., 0., -15., 12., -6., 17., 0., 0., 0., -1., 9., 6., -6., 6.,
+         -7., -7., -6., -7., -11.]]
+    G = np.array(cols).T
+    c = np.array([-6., -4., -5.])
+    h = np.array([-3., 5., 12., -2., -14., -13., 10., 0., 0., 0., 68.,
+                  -30., -19., -30., 99., 23., -19., 23., 10.])
+    dims = {'l': 2, 'q': [4, 4], 's': [3]}
+    s1 = solvers.conelp(c, G, h, dims, kktsolver="qr")
+    s2 = solvers.conelp(c, G, h, dims, kktsolver="qr_inv")
+    assert s1["status"] == s2["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(s1["x"]), np.asarray(s2["x"]),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_qr_inv_equalities():
+    """'qr_inv' with equality constraints (exercises the R1 inverse)."""
+    c = np.array([-1., -1., 0.])
+    G = np.concatenate([-np.eye(3), np.eye(3)])
+    h = np.array([0., 0., 0., 1., 1., 1.])
+    A = np.array([[1., 1., 1.]])
+    b = np.array([1.5])
+    # add a trivial SOC block so 'qr' stays the natural choice
+    G = np.concatenate([G, np.zeros((2, 3))])
+    G[-1, 2] = -1.0
+    h = np.concatenate([h, [2.0, 0.0]])
+    dims = {"l": 6, "q": [2], "s": []}
+    s1 = solvers.conelp(c, G, h, dims, A=A, b=b, kktsolver="qr")
+    s2 = solvers.conelp(c, G, h, dims, A=A, b=b, kktsolver="qr_inv")
+    assert s1["status"] == s2["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(s1["x"]), np.asarray(s2["x"]),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_chol_factor_dtype_refinement():
+    """'chol' with factor_dtype='float32' + refinement keeps the q-cone
+    QP accurate (the TPU mixed-precision mode on the q/s default
+    path)."""
+    rng = np.random.default_rng(23)
+    n = 8
+    F = rng.standard_normal((n, n))
+    P = F @ F.T + np.eye(n)
+    q = rng.standard_normal(n)
+    I = np.eye(n)
+    G = np.concatenate([-I, np.zeros((1, n)), I], axis=0)
+    h = np.array(n * [0.0] + [2.0] + n * [0.0])
+    dims = {"l": n, "q": [n + 1], "s": []}
+    ref = solvers.coneqp(P, q, G, h, dims, kktsolver="chol")
+    mix = solvers.coneqp(P, q, G, h, dims, kktsolver="chol_inv",
+                         options={"factor_dtype": "float32",
+                                  "refinement": 1})
+    assert ref["status"] == mix["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(ref["x"]),
+                               np.asarray(mix["x"]), atol=1e-6)
