@@ -23,6 +23,7 @@ from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu import cones
 from cvxopt_tpu import scaling
 from cvxopt_tpu import kkt
+from cvxopt_tpu import kkt_structured
 from cvxopt_tpu import solvers
 from cvxopt_tpu import modeling
 from cvxopt_tpu import mpsio
