@@ -65,19 +65,46 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
              reltol: float = 1e-6, feastol: float = 1e-7,
              refinement: int = 1, kktreg: Optional[float] = None,
              max_relaxed: int = MAX_RELAXED_ITERS,
-             show_progress: bool = False):
+             show_progress: bool = False, matrix_free: bool = False):
     """Build the jitted cpl core: g(c, x0, G, h, A, b) -> result arrays.
 
     `dims.mnl` must equal the output length of `f`; `f` must be a pure
     JAX function R^n -> R^mnl, NaN outside its domain.
+
+    `matrix_free=True` is the operator-form Df/H mode (the analogue of
+    the reference's "Df and H may be Python functions" contract,
+    cvxprog.py:286-402 level-2 customization): the dense mnl-by-n
+    Jacobian and n-by-n weighted Hessian are never materialized —
+    every Df@u / Df'@v / H@u in the algorithm becomes a jvp / vjp /
+    Hessian-vector product of `f`.  Intended for large n where the
+    dense forms don't fit or dominate; requires a custom `kktsolver`
+    callable (x, znl, W) -> solve, exactly as the reference requires
+    a custom kktsolver for operator-form problems.
     """
     assert dims.mnl > 0, "cpl requires a nonlinear block (dims.mnl > 0)"
     custom_kkt = callable(kktsolver)
+    if matrix_free and not custom_kkt:
+        raise ValueError(
+            "matrix_free=True (operator-form Df/H) requires a custom "
+            "kktsolver callable, as in the reference")
     if kktsolver == "default":
         kktsolver = "chol"   # cvxprog.py:426-430 ('chol' when q/s; the
         #                      dense condensed path covers 'l' too)
 
-    Df_fn = jax.jacfwd(f)
+    if matrix_free:
+        Df_fn = None
+
+        def Df_mv(x, u):
+            return jax.jvp(f, (x,), (u,))[1]
+
+        def Df_rmv(x, v):
+            return jax.vjp(f, x)[1](v)[0]
+
+        def H_mv(x, znl, u):
+            g = jax.grad(lambda w: jnp.dot(znl, f(w)))
+            return jax.jvp(g, (x,), (u,))[1]
+    else:
+        Df_fn = jax.jacfwd(f)
 
     def H_fn(x, znl):
         return jax.hessian(lambda u: jnp.dot(znl, f(u)))(x)
@@ -109,8 +136,11 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
 
         # scale factors fixed at iteration 0 (cvxprog.py:711-719)
         fx0 = f(x0)
-        Df0 = Df_fn(x0)
-        rx_init = c + A.T @ y + Df0.T @ z[:mnl] + G.T @ z[mnl:]
+        if matrix_free:
+            dftz0 = Df_rmv(x0, z[:mnl])
+        else:
+            dftz0 = Df_fn(x0).T @ z[:mnl]
+        rx_init = c + A.T @ y + dftz0 + G.T @ z[mnl:]
         resx_init = jnp.linalg.norm(rx_init)
         rznl_init = s[:mnl] + fx0
         resznl_init = jnp.linalg.norm(rznl_init)
@@ -162,13 +192,18 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             relaxed_in, saved_in = st["relaxed"], st["saved"]
 
             fx = f(x)
-            Df = Df_fn(x)
-            H = H_fn(x, z[:mnl])
+            if matrix_free:
+                Df, H = None, None
+                dftz = Df_rmv(x, z[:mnl])
+            else:
+                Df = Df_fn(x)
+                H = H_fn(x, z[:mnl])
+                dftz = Df.T @ z[:mnl]
 
             gap = cones.sdot(s, z, dims)
 
             # residuals (cvxprog.py:670-691)
-            rx = c + A.T @ y + Df.T @ z[:mnl] + G.T @ z[mnl:]
+            rx = c + A.T @ y + dftz + G.T @ z[mnl:]
             resx = jnp.linalg.norm(rx)
             ry = A @ x - b
             resy = jnp.linalg.norm(ry)
@@ -260,6 +295,24 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
         def _iteration(x, y, s, z, W, lmbda, gap, phi, rx, ry, rznl,
                        rzl, resx, resznl, Df, H, relaxed, saved):
             lmbdasq = cones.ssqr(lmbda, dims)
+            if matrix_free:
+                def Hmul(u):
+                    return H_mv(x, z[:mnl], u)
+
+                def DfT(v):
+                    return Df_rmv(x, v)
+
+                def Dfm(u):
+                    return Df_mv(x, u)
+            else:
+                def Hmul(u):
+                    return H @ u
+
+                def DfT(v):
+                    return Df.T @ v
+
+                def Dfm(u):
+                    return Df @ u
             if custom_kkt:
                 f3 = factor3(x, z[:mnl], W)
             else:
@@ -276,10 +329,10 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             def resid4(ux, uy, uz, us, vx, vy, vz, vs):
                 # (cvxprog.py:889-923)
                 wz3 = nt.scale(uz, W, dims, inverse="I")
-                vx = vx - H @ ux - A.T @ uy - Df.T @ wz3[:mnl] \
+                vx = vx - Hmul(ux) - A.T @ uy - DfT(wz3[:mnl]) \
                     - G.T @ wz3[mnl:]
                 vy = vy - A @ ux
-                GGux = jnp.concatenate([Df @ ux, G @ ux])
+                GGux = jnp.concatenate([Dfm(ux), G @ ux])
                 vz = vz - GGux - nt.scale(us, W, dims, trans="T")
                 vs = vs - cones.sprod_diag(us + uz, lmbda, dims)
                 return vx, vy, vz, vs
@@ -322,9 +375,11 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
                 newz = ctx["z"] + step * ctx["dz2u"]
                 news = ctx["s"] + step * ctx["ds2u"]
                 newf = f(newx)
-                newDf = Df_fn(newx)
-                newrx = c + A.T @ newy + newDf.T @ newz[:mnl] \
-                    + G.T @ newz[mnl:]
+                if matrix_free:
+                    ndftz = Df_rmv(newx, newz[:mnl])
+                else:
+                    ndftz = Df_fn(newx).T @ newz[:mnl]
+                newrx = c + A.T @ newy + ndftz + G.T @ newz[mnl:]
                 newresx = jnp.linalg.norm(newrx)
                 newresznl = jnp.linalg.norm(news[:mnl] + newf)
                 newgap = (1.0 - (1.0 - ctx["sigma"]) * step) \
@@ -579,10 +634,13 @@ def _opts(options):
 
 
 def cpl(c, F, x0, G=None, h=None, dims=None, A=None, b=None,
-        kktsolver=None, options=None):
+        kktsolver=None, options=None, matrix_free=False):
     """Solve min c'x s.t. F(x) <= 0 (componentwise, convex), Gx+s=h,
     Ax=b (cvxprog.py:35).  `F` is a pure JAX function R^n -> R^mnl
-    (NaN outside its domain); `x0` must be strictly in the domain."""
+    (NaN outside its domain); `x0` must be strictly in the domain.
+
+    `matrix_free=True` never materializes Df/H (jvp/vjp/hvp operator
+    form); requires a custom `kktsolver` callable."""
     opts = _opts(options)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     c = jnp.asarray(c, dtype=dtype).reshape(-1)
@@ -604,13 +662,14 @@ def cpl(c, F, x0, G=None, h=None, dims=None, A=None, b=None,
         refinement=int(opts.get("refinement", 1)),
         kktreg=opts.get("kktreg", None),
         show_progress=bool(opts.get("show_progress", False)),
+        matrix_free=matrix_free,
     )
     raw = core(c, x0, G, h, A, b)
     return _nl_result(raw, mnl)
 
 
 def cp(F, x0, G=None, h=None, dims=None, A=None, b=None,
-       kktsolver=None, options=None):
+       kktsolver=None, options=None, matrix_free=False):
     """Solve min f0(x) s.t. fk(x) <= 0, Gx+s=h, Ax=b (cvxprog.py:1359).
 
     `F` is a pure JAX function R^n -> R^(1+mnl); F(x)[0] is the
@@ -646,7 +705,7 @@ def cp(F, x0, G=None, h=None, dims=None, A=None, b=None,
         Ae = None
 
     sol = cpl(ce, Fe, x0e, Ge, he, dims, Ae, b, kktsolver=kktsolver,
-              options=options)
+              options=options, matrix_free=matrix_free)
     if sol["x"] is not None:
         x_full = np.asarray(sol["x"])
         sol["x"] = x_full[:n]

@@ -174,6 +174,58 @@ def test_cpl_custom_kktsolver():
                                atol=1e-7)
 
 
+def test_cpl_matrix_free():
+    """Operator-form Df/H (matrix_free=True, reference level-2
+    customization cvxprog.py:286-402): Df@u / Df'@v / H@u run as
+    jvp/vjp/Hessian-vector products of F — the dense Jacobian/Hessian
+    are never materialized.  Same Sherman-Morrison custom kktsolver as
+    test_cpl_custom_kktsolver; must match the dense default path."""
+    n = 6
+    c = np.ones(n)
+
+    def F(x):
+        return jnp.array([jnp.sum(jnp.exp(x)) - 10.0])
+
+    G = -np.eye(n)
+    h = 2.0 * np.ones(n)
+
+    def Fkkt(x, znl, W):
+        ex = jnp.exp(x)
+        H = znl[0] * ex
+        dnli2 = W["dnli"][0] ** 2
+        di2 = W["di"] ** 2
+        D = H + di2
+        u = jnp.sqrt(dnli2) * ex
+        Dinv = 1.0 / D
+        denom = 1.0 + jnp.dot(u, Dinv * u)
+
+        def Sinv(v):
+            t = Dinv * v
+            return t - Dinv * u * (jnp.dot(u, t) / denom)
+
+        def solve(bx, by, bz):
+            rhs = bx + ex * (dnli2 * bz[0]) - di2 * bz[1:]
+            ux = Sinv(rhs)
+            uy = by
+            Wuz_nl = W["dnli"] * (jnp.dot(ex, ux) - bz[:1])
+            Wuz_l = W["di"] * (-ux - bz[1:])
+            return ux, uy, jnp.concatenate([Wuz_nl, Wuz_l])
+
+        return solve
+
+    sol_d = cpl(c, F, np.zeros(n), G, h)
+    sol_mf = cpl(c, F, np.zeros(n), G, h, kktsolver=Fkkt,
+                 matrix_free=True)
+    assert sol_mf["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol_mf["x"]),
+                               np.asarray(sol_d["x"]), rtol=1e-6,
+                               atol=1e-7)
+    # operator mode must reject a string kktsolver
+    import pytest
+    with pytest.raises(ValueError):
+        cpl(c, F, np.zeros(n), G, h, matrix_free=True)
+
+
 def test_cpl_with_soc_cone():
     """cpl with BOTH a nonlinear block and an SOC constraint — the
     'dnl' + 'q' scaling combination (misc.py:65-115 with mnl > 0):
