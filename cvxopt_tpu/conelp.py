@@ -547,13 +547,21 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     feastol = float(opts.get("feastol", 1e-7))
     show_progress = bool(opts.get("show_progress", False))
     refinement = opts.get("refinement", None)
+    # mixed precision is OPT-IN ('float32' or 'auto'): an f32 factor
+    # caps the reachable feastol at ~eps_f32*kappa even with f64
+    # refinement (degenerate problems near convergence exceed it), so
+    # the default keeps the reference's full-f64 1e-7 contract
+    factor_dtype = kktmod.resolve_factor_dtype(
+        opts.get("factor_dtype", None))
+    if factor_dtype is not None and refinement is None:
+        refinement = 1   # mixed precision needs one f64 IR round
 
     if not custom_kkt and primalstart is None and dualstart is None:
         fn = make_conelp(
             dims, kktsolver=kktsolver or "default", maxiters=maxiters,
             abstol=abstol, reltol=reltol, feastol=feastol,
             refinement=refinement, kktreg=opts.get("kktreg", None),
-            factor_dtype=opts.get("factor_dtype", None),
+            factor_dtype=factor_dtype,
             show_progress=show_progress)
         raw = fn(c, G, h, A, b)
         return finalize_result(raw, dims)
@@ -592,7 +600,7 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
         kname, _ = _resolve_opts(dims, kktsolver, refinement)
         factor = kktmod.get_kktsolver(
             kname, G, dims, A, kktreg=opts.get("kktreg", None),
-            factor_dtype=opts.get("factor_dtype", None))
+            factor_dtype=factor_dtype)
     _, refinement = _resolve_opts(dims, "default", refinement)
 
     if primalstart is not None:

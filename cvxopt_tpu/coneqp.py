@@ -333,6 +333,11 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
     show_progress = bool(opts.get("show_progress", False))
     correction = bool(opts.get("use_correction", True))
     refinement = opts.get("refinement", None)
+    # mixed precision is OPT-IN ('float32' or 'auto'); see conelp.py
+    factor_dtype = kktmod.resolve_factor_dtype(
+        opts.get("factor_dtype", None))
+    if factor_dtype is not None and refinement is None:
+        refinement = 1   # mixed precision needs one f64 IR round
 
     if not custom_kkt and initvals is None and not P_is_op:
         fn = make_coneqp(
@@ -340,7 +345,7 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
             abstol=abstol, reltol=reltol, feastol=feastol,
             refinement=refinement, kktreg=opts.get("kktreg", None),
             correction=correction,
-            factor_dtype=opts.get("factor_dtype", None),
+            factor_dtype=factor_dtype,
             show_progress=show_progress)
         raw = fn(P, q, G, h, A, b)
         return finalize_qp_result(raw)
@@ -372,7 +377,7 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
         kname, _ = _resolve_qp_opts(dims, kktsolver, refinement)
         factor = kktmod.get_kktsolver(
             kname, G, dims, A, kktreg=opts.get("kktreg", None),
-            factor_dtype=opts.get("factor_dtype", None))
+            factor_dtype=factor_dtype)
         factor_W = lambda W: factor(W, P)
     _, refinement = _resolve_qp_opts(dims, "default", refinement)
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -224,19 +225,37 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
         S = Gs.T @ Gs
         if H is not None:
             S = S + H.astype(S.dtype)
+        if factor_dtype is not None:
+            # Jacobi equilibration: near convergence kappa(S) grows like
+            # 1/mu^2 and exceeds 1/eps_f32, purely through row/column
+            # scaling from the NT weights — van-der-Sluis scaling
+            # S_e = D S D, D = diag(S)^{-1/2} removes it, keeping the
+            # f32 factor inside refinement's convergence region
+            deq = jax.lax.rsqrt(jnp.maximum(
+                jnp.diag(S), jnp.asarray(1e-30, S.dtype)))
+            S = S * deq[:, None] * deq[None, :]
+        else:
+            deq = None
         Ls = jnp.linalg.cholesky(S)
 
         if explicit_inverse:
             Linv = jsl.solve_triangular(
                 Ls, jnp.eye(n, dtype=Ls.dtype), lower=True)
+            if deq is not None:
+                Linv = Linv * deq[None, :]
             Sinv_mat = Linv.T @ Linv
 
             def Sinv(v):
                 return Sinv_mat @ v
         else:
             def Sinv(v):
+                if deq is not None:
+                    v = deq * v if v.ndim == 1 else deq[:, None] * v
                 w = jsl.solve_triangular(Ls, v, lower=True)
-                return jsl.solve_triangular(Ls.T, w, lower=False)
+                w = jsl.solve_triangular(Ls.T, w, lower=False)
+                if deq is not None:
+                    w = deq * w if w.ndim == 1 else deq[:, None] * w
+                return w
 
         if p:
             SiAT = Sinv(A.astype(S.dtype).T)             # (n, p)
@@ -365,6 +384,28 @@ def kkt_qr(G, dims: ConeDims, A, mnl: int = 0,
         return solve
 
     return factor
+
+
+def resolve_factor_dtype(factor_dtype):
+    """Resolve the `options['factor_dtype']` setting.
+
+    'auto' (the front-end default): factor in f32 when running f64 on
+    a TPU backend — f64 there is emulated (slow, ~1e-6 accurate) and
+    LU has no f64 lowering at all, while an f32 factor plus one round
+    of f64 iterative refinement recovers f64-class KKT residuals
+    (measured ~5e-14; docs/performance.md).  On CPU, or without x64,
+    'auto' resolves to None (factor in the working dtype).  Explicit
+    'none'/False disable; any other value passes through unchanged.
+    """
+    if factor_dtype in ("none", False):
+        return None
+    if factor_dtype == "auto":
+        import jax
+        if jax.config.jax_enable_x64 and \
+                jax.devices()[0].platform != "cpu":
+            return "float32"
+        return None
+    return factor_dtype
 
 
 def get_kktsolver(name: str, G, dims: ConeDims, A, mnl: int = 0,
