@@ -45,6 +45,8 @@ class MPSData:
     lo: np.ndarray                   # (n,) variable lower bounds
     hi: np.ndarray                   # (n,) variable upper bounds
     integer: List[str] = field(default_factory=list)
+    maximize: bool = False           # OBJSENSE MAX: c/objconst are
+    #                                  already negated to minimize form
 
     def to_lp(self):
         """Convert to conelp form: returns (c, G, h, A, b).
@@ -109,6 +111,7 @@ def mps_load(path_or_file) -> MPSData:
     bounds_hi: Dict[str, float] = {}
     integer_vars: List[str] = []
     in_integer = False
+    maximize = False
 
     for raw in lines:
         if not raw.strip() or raw.lstrip().startswith("*"):
@@ -122,11 +125,16 @@ def mps_load(path_or_file) -> MPSData:
             if kw in ("ROWS", "COLUMNS", "RHS", "RANGES", "BOUNDS",
                       "ENDATA", "OBJSENSE"):
                 section = kw
+                # free-format one-line form: "OBJSENSE MAX"
+                if kw == "OBJSENSE" and len(parts) > 1:
+                    maximize = parts[1].upper().startswith("MAX")
                 continue
             raise ValueError(f"unknown MPS section: {kw}")
 
         parts = raw.split()
-        if section == "ROWS":
+        if section == "OBJSENSE":
+            maximize = parts[0].upper().startswith("MAX")
+        elif section == "ROWS":
             rtype, rname = parts[0].upper(), parts[1]
             if rtype == "N":
                 if obj_name is None:
@@ -194,6 +202,11 @@ def mps_load(path_or_file) -> MPSData:
             elif rname in ridx:
                 A[ridx[rname], j] = val
     objconst = -rhs.get(obj_name, 0.0)
+    if maximize:
+        # normalize to minimize form; `maximize` records the flip so
+        # callers can report -objective
+        c = -c
+        objconst = -objconst
 
     rlo = np.full(nrows, -INF)
     rhi = np.full(nrows, INF)
@@ -229,7 +242,7 @@ def mps_load(path_or_file) -> MPSData:
     return MPSData(name=name, var_names=var_order, row_names=row_order,
                    obj_name=obj_name, c=c, objconst=objconst, Arows=A,
                    rlo=rlo, rhi=rhi, lo=lo, hi=hi,
-                   integer=integer_vars)
+                   integer=integer_vars, maximize=maximize)
 
 
 def mps_write(path_or_file, data: MPSData):
