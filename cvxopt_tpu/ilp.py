@@ -17,7 +17,10 @@ bounds are expressed as per-integer-variable box rows ``lo <= x_j <=
 hi`` appended to G, so node relaxations differ only in the h vector.
 Up to ``node_batch`` open nodes are therefore solved per device call
 through the jit-cached, vmapped conelp core (the B&B analogue of the
-batched-scenario solving the framework is built around).
+batched-scenario solving the framework is built around).  Branching
+uses pseudo-costs (mean dual-bound degradation per unit fraction, the
+product rule) once a variable has been observed in both directions,
+falling back to most-fractional before that.
 """
 
 from __future__ import annotations
@@ -107,9 +110,36 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
     heap = [(obj[0], 0, lo0, hi0, xs[0])]
     nodes = 0
 
+    # pseudo-cost branching state: mean objective degradation per unit
+    # of fraction removed, per integer variable and direction
+    # (GLPK's branch-and-cut uses the same statistic; here it steers
+    # which variable each node splits on)
+    pc_dn = np.zeros(ni)
+    pc_up = np.zeros(ni)
+    pn_dn = np.zeros(ni, dtype=int)
+    pn_up = np.zeros(ni, dtype=int)
+
+    def pick_branch(frac):
+        """Pseudo-cost product rule; most-fractional until a variable
+        has been observed in both directions."""
+        cand = np.flatnonzero(frac > int_tol)
+        init = (pn_dn[cand] > 0) & (pn_up[cand] > 0)
+        if init.any():
+            f = frac[cand]
+            dn = np.where(pn_dn[cand] > 0, pc_dn[cand] /
+                          np.maximum(pn_dn[cand], 1), 1.0)
+            up = np.where(pn_up[cand] > 0, pc_up[cand] /
+                          np.maximum(pn_up[cand], 1), 1.0)
+            score = np.maximum(dn * f, 1e-12) * \
+                np.maximum(up * (1.0 - f), 1e-12)
+            score = np.where(init, score, -1.0)
+            return int(cand[np.argmax(score)])
+        return int(cand[np.argmax(frac[cand])])
+
     while heap and nodes < max_nodes:
         # pop up to node_batch most promising nodes
         batch = []
+        meta = []        # (k, direction, fraction, parent_obj)
         while heap and len(batch) < node_batch:
             bound_val, _, lo, hi, x = heapq.heappop(heap)
             if bound_val >= best_obj - 1e-9:
@@ -123,17 +153,20 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
                     for j in I:
                         best_x[j] = round(best_x[j])
                 continue
-            k = int(np.argmax(frac))
+            k = pick_branch(frac)
             j = I[k]
             f = np.floor(x[j])
+            fk = x[j] - f
             lo_up = lo.copy()
             lo_up[k] = f + 1.0
             hi_dn = hi.copy()
             hi_dn[k] = f
             if hi_dn[k] >= lo[k]:
                 batch.append((lo.copy(), hi_dn))
+                meta.append((k, 0, fk, bound_val))
             if lo_up[k] <= hi[k]:
                 batch.append((lo_up, hi))
+                meta.append((k, 1, fk, bound_val))
         if not batch:
             continue
         nodes += len(batch)
@@ -141,6 +174,14 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         for i, (lo, hi) in enumerate(batch):
             if st[i] != STATUS_OPTIMAL:
                 continue
+            k, dirn, fk, pobj = meta[i]
+            degr = max(float(obj[i]) - float(pobj), 0.0)
+            if dirn == 0 and fk > int_tol:
+                pc_dn[k] += degr / fk
+                pn_dn[k] += 1
+            elif dirn == 1 and fk < 1.0 - int_tol:
+                pc_up[k] += degr / (1.0 - fk)
+                pn_up[k] += 1
             if obj[i] < best_obj - 1e-9:
                 counter += 1
                 heapq.heappush(
