@@ -142,19 +142,34 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
             S = S + H.astype(S.dtype)
         Q1f, Q2f = Q1.astype(S.dtype), Q2.astype(S.dtype)
         K = Q2f.T @ S @ Q2f                              # (n-p, n-p)
+        if factor_dtype is not None:
+            # Jacobi equilibration before the reduced-precision factor
+            # (see kkt_chol2 for rationale)
+            deq = jax.lax.rsqrt(jnp.maximum(
+                jnp.diag(K), jnp.asarray(1e-30, K.dtype)))
+            K = K * deq[:, None] * deq[None, :]
+        else:
+            deq = None
         L = jnp.linalg.cholesky(K)
 
         if explicit_inverse:
             Linv = jsl.solve_triangular(
                 L, jnp.eye(n - p, dtype=L.dtype), lower=True)
+            if deq is not None:
+                Linv = Linv * deq[None, :]
             Kinv_mat = Linv.T @ Linv
 
             def Kinv(v):
                 return Kinv_mat @ v
         else:
             def Kinv(v):
+                if deq is not None:
+                    v = deq * v if v.ndim == 1 else deq[:, None] * v
                 w = jsl.solve_triangular(L, v, lower=True)
-                return jsl.solve_triangular(L.T, w, lower=False)
+                w = jsl.solve_triangular(L.T, w, lower=False)
+                if deq is not None:
+                    w = deq * w if w.ndim == 1 else deq[:, None] * w
+                return w
 
         def solve(bx, by, bz):
             # rhs r = bx + GG' W^{-1} W^{-T} bz
