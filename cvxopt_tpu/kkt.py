@@ -117,6 +117,8 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
     sequential-bound (~3 GFLOP/s) while matmuls run at MXU rates.
     ``factor_dtype`` factors in reduced precision (f32 on TPU) while
     the solver's f64 iterative refinement recovers full accuracy."""
+    if factor_dtype == "adaptive":
+        factor_dtype = "float32"     # adaptive mode lives in kkt_chol2
     p, n = A.shape
     if p:
         Q, R = jnp.linalg.qr(A.T, mode="complete")       # A' = Q [R; 0]
@@ -225,8 +227,103 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
     GFLOP/s (inherently sequential), while the one-off n-RHS inverse
     and the matmul applications run near MXU rates.  Accuracy is
     comparable (error ~eps*kappa(S) either way); prefer the default for
-    f64 CPU runs at 1e-7 tolerances."""
+    f64 CPU runs at 1e-7 tolerances.
+
+    ``factor_dtype='adaptive'`` (single-problem TPU f64 mode): factor
+    in equilibrated f32 every iteration, then verify with one probe
+    solve whose residual is evaluated in f64; only when the f32
+    factor's error contraction is too weak for iterative refinement
+    (near convergence, kappa_eq(S) ~ 1/eps_f32) does a `lax.cond`
+    branch compute the f64 factorization.  Early IPM iterations run at
+    f32 speed, the last few at emulated-f64 speed, and the 1e-7
+    contract holds on problems where a fixed f32 factor diverges
+    (docs/performance.md).  Not for vmapped batches: under vmap both
+    cond branches execute for the whole batch."""
     p, n = A.shape
+    adaptive = factor_dtype == "adaptive"
+
+    def factor_adaptive(W, H=None, Df=None):
+        GG = _stack_gg(G, Df)
+        Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
+        io_dtype = Gs.dtype
+        Gs32 = Gs.astype(jnp.float32)
+        S32 = Gs32.T @ Gs32
+        if H is not None:
+            S32 = S32 + H.astype(jnp.float32)
+        deq = jax.lax.rsqrt(jnp.maximum(
+            jnp.diag(S32), jnp.asarray(1e-30, jnp.float32)))
+        Se = S32 * deq[:, None] * deq[None, :]
+        Ls32 = jnp.linalg.cholesky(Se)
+        deq64 = deq.astype(io_dtype)
+
+        def solve32(v):
+            v32 = (deq64 * v if v.ndim == 1
+                   else deq64[:, None] * v).astype(jnp.float32)
+            w = jsl.solve_triangular(Ls32, v32, lower=True)
+            w = jsl.solve_triangular(Ls32.T, w, lower=False)
+            w = w.astype(io_dtype)
+            return deq64 * w if w.ndim == 1 else deq64[:, None] * w
+
+        def S64mv(v):
+            r = Gs.T @ (Gs @ v)
+            if H is not None:
+                r = r + H @ v
+            return r
+
+        # probe: one f32 solve, f64 residual — the measured error
+        # contraction of a refinement round with this factor
+        r0 = jnp.ones((n,), io_dtype) / float(n) ** 0.5
+        t0 = solve32(r0)
+        relres = jnp.linalg.norm(S64mv(t0) - r0) / jnp.linalg.norm(r0)
+        # the refinement contraction of the composite KKT solve is
+        # amplified beyond this single-probe residual by the equality
+        # Schur complement (kappa(K)) and the cone scaling, so the
+        # threshold carries a wide safety margin below eps_f32*kappa=1
+        # NaN-safe: an f32 factor of a (in f32) non-PD S yields NaN,
+        # which must select the f64 branch, so test the negation
+        need64 = ~(relres <= 1e-6)
+
+        def chol64():
+            S = Gs.T @ Gs
+            if H is not None:
+                S = S + H
+            return jnp.linalg.cholesky(S)
+
+        Ls64 = jax.lax.cond(
+            need64, chol64,
+            lambda: jnp.zeros((n, n), io_dtype))
+
+        def Sinv(v):
+            def s64(u):
+                w = jsl.solve_triangular(Ls64, u, lower=True)
+                return jsl.solve_triangular(Ls64.T, w, lower=False)
+
+            return jax.lax.cond(need64, s64, solve32, v)
+
+        if p:
+            SiAT = Sinv(A.T)
+            K = A @ SiAT
+            Lk = jnp.linalg.cholesky(K)
+
+        def solve(bx, by, bz):
+            zs = scale(bz, W, dims, trans="T", inverse="I")
+            r = bx + GG.T @ zs
+            t = Sinv(r)
+            if p:
+                rhs = A @ t - by
+                w = jsl.solve_triangular(Lk, rhs, lower=True)
+                uy = jsl.solve_triangular(Lk.T, w, lower=False)
+                ux = t - SiAT @ uy
+            else:
+                uy = by
+                ux = t
+            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            return ux, uy, Wuz
+
+        return solve
+
+    if adaptive:
+        return factor_adaptive
 
     def factor(W, H=None, Df=None):
         GG = _stack_gg(G, Df)
@@ -314,6 +411,8 @@ def kkt_qr(G, dims: ConeDims, A, mnl: int = 0,
     solves — the TPU fast path (see kkt_chol2 notes).  ``factor_dtype``
     runs the QR and solves in reduced precision; conelp's f64
     iterative refinement recovers accuracy."""
+    if factor_dtype == "adaptive":
+        factor_dtype = "float32"     # adaptive mode lives in kkt_chol2
     p, n = A.shape
     if p:
         Q, RA = jnp.linalg.qr(A.T, mode="complete")      # A' = Q [R1; 0]

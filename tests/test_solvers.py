@@ -380,3 +380,32 @@ def test_chol_factor_dtype_refinement():
     assert ref["status"] == mix["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(ref["x"]),
                                np.asarray(mix["x"]), atol=1e-6)
+
+
+def test_adaptive_mixed_precision():
+    """factor_dtype='adaptive' (kkt_chol2): f32 equilibrated factors
+    with an f64-probe fallback must solve problems where a FIXED f32
+    factor diverges (kappa_eq(S) > 1/eps_f32 near convergence), while
+    matching the full-f64 answer to 1e-6."""
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    sol = solvers.conelp(c, G, h, options={"factor_dtype": "adaptive",
+                                           "refinement": 1})
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [1, 1], atol=1e-6)
+
+    # with equalities: the Schur-complement path
+    P = np.array([[13., 12., -2.], [12., 17., 6.], [-2., 6., 12.]])
+    q = np.array([-22., -14.5, 13.])
+    Gq = np.vstack([np.eye(3), -np.eye(3)])
+    hq = np.ones(6)
+    A = np.ones((1, 3))
+    b = np.array([1.0])
+    s2 = solvers.coneqp(P, q, Gq, hq, A=A, b=b, kktsolver="chol2",
+                        options={"factor_dtype": "adaptive",
+                                 "refinement": 1})
+    s2f = solvers.coneqp(P, q, Gq, hq, A=A, b=b, kktsolver="chol2")
+    assert s2["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(s2["x"]), np.asarray(s2f["x"]),
+                               atol=1e-6)
