@@ -58,6 +58,22 @@ STATUS_PRIMAL_INFEASIBLE = 1
 STATUS_DUAL_INFEASIBLE = 2
 STATUS_UNKNOWN_MAXITERS = 3
 STATUS_UNKNOWN_SINGULAR = 4
+# internal only: instance handed from the mixed-precision phase to the
+# full-precision rescue phase (never escapes the solver)
+STATUS_NEEDS_F64 = 5
+
+# mixed-precision rescue triggers (per instance, all outcome-based so
+# clean instances never false-positive):
+#  - RESCUE_STALL_ITERS consecutive non-improving iterations (backstop);
+#  - the convergence measure regressing by >100x from its best (a
+#    corrupted step escaped the refinement);
+#  - gap collapsed below abstol while residuals are >10x feastol (the
+#    instance is at the boundary and cannot recover);
+#  - a refinement round EXPANDING the residual (relres > RESCUE_RELRES
+#    = 1: refinement diverges — the step is discarded outright).
+# Flagged instances restart from the initial point in the f64 phase.
+RESCUE_STALL_ITERS = 4
+RESCUE_RELRES = 1.0
 
 STATUS_STRINGS = {
     STATUS_OPTIMAL: "optimal",
@@ -114,6 +130,14 @@ def _tsub(a, b):
     return jax.tree_util.tree_map(lambda u, v: u - v, a, b)
 
 
+def _tnorm_parts(parts):
+    """sqrt(sum of squared 2-norms) over a tuple of pytrees."""
+    t = 0.0
+    for pt in parts:
+        t = t + _tdot(pt, pt)
+    return jnp.sqrt(jnp.maximum(t, 0.0))
+
+
 def _tadd(a, b):
     return jax.tree_util.tree_map(lambda u, v: u + v, a, b)
 
@@ -121,7 +145,7 @@ def _tadd(a, b):
 def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                   n, p, dtype, maxiters, abstol, reltol, feastol,
                   refinement, show_progress, primalstart=None,
-                  dualstart=None):
+                  dualstart=None, factor64=None):
     """The conelp algorithm with all linear maps abstracted as closures
     (coneprog.py:31-1437).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -174,15 +198,18 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         status=jnp.asarray(STATUS_RUNNING, jnp.int32),
         pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
         pinfres=nan, dinfres=nan, cx=nan, by=nan, hz=nan,
+        best_m=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0, jnp.int32),
+        max_it=jnp.asarray(maxiters, jnp.int32),
     )
 
-    def _iteration(x, y, s, z, tau, kappa, W, lmbda, dg, lg,
+    def _iteration(fW, x, y, s, z, tau, kappa, W, lmbda, dg, lg,
                    rx, ry, rz, rt):
         dgi = 1.0 / dg
         lmbdasq = cones.ssqr(lmbda, dims)
         lgsq = lg * lg
 
-        f3 = factor(W)
+        f3 = fW(W)
 
         # (x1, y1, z1) = dgi * K^{-1} (-c, b, h)  (coneprog.py:1071)
         x1, y1, z1 = f3(_tneg(c), b, h)
@@ -224,13 +251,19 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
 
         def f6(bx, by_, bz, btau, bs, bkappa):
             u = f6_no_ir(bx, by_, bz, btau, bs, bkappa)
+            relres = jnp.asarray(0.0, dtype)
             for _ in range(refinement):
                 v = resid6(*u, bx, by_, bz, btau, bs, bkappa)
+                # contraction of one solve round: the mixed-precision
+                # failure detector (RESCUE_RELRES)
+                relres = _tnorm_parts(v) / jnp.maximum(
+                    _tnorm_parts((bx, by_, bz, btau, bs, bkappa)),
+                    1e-30)
                 du = f6_no_ir(*v)
                 u = tuple(jax.tree_util.tree_map(
                     lambda a_, d_: a_ + d_, a, d)
                     for a, d in zip(u, du))
-            return u
+            return u, relres
 
         mu = jnp.sum(lmbda * lmbda) + lgsq
         mu = mu / (1 + dims.cdim_diag)
@@ -240,7 +273,8 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         # ---- predictor (i=0, coneprog.py:1250-1333) ------------------
         ds_in = lmbdasq_full
         dk_in = lgsq
-        dx, dy, dz, dtau, ds, dkappa = f6(rx, ry, rz, rt, ds_in, dk_in)
+        (dx, dy, dz, dtau, ds, dkappa), rr1 = f6(rx, ry, rz, rt,
+                                                 ds_in, dk_in)
         ws3 = cones.sprod(ds, dz, dims)
         wkappa3 = dtau * dkappa
         ds_sc = nt.scale2(lmbda, ds, dims)
@@ -257,7 +291,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         # ---- corrector (i=1) -----------------------------------------
         ds_in = lmbdasq_full + ws3 - sigma * mu * e
         dk_in = lgsq + wkappa3 - sigma * mu
-        dx, dy, dz, dtau, ds, dkappa = f6(
+        (dx, dy, dz, dtau, ds, dkappa), rr2 = f6(
             _tscale(1.0 - sigma, rx), _tscale(1.0 - sigma, ry),
             (1.0 - sigma) * rz, (1.0 - sigma) * rt, ds_in, dk_in)
         ds_sc = nt.scale2(lmbda, ds, dims)
@@ -308,12 +342,18 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         kappa2 = lg2 / dgi2
         tau2 = lg2 * dgi2
         gap2 = (jnp.linalg.norm(lmbda2) / tau2) ** 2
-        return (x, y, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2, gap2)
+        return (x, y, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2, gap2,
+                jnp.maximum(rr1, rr2))
 
     def cond(st):
         return st["status"] == STATUS_RUNNING
 
-    def body(st):
+    def make_body(fW, rescue):
+        def body(st):
+            return _body(st, fW, rescue)
+        return body
+
+    def _body(st, fW, rescue):
         x, y, s, z = st["x"], st["y"], st["s"], st["z"]
         tau, kappa = st["tau"], st["kappa"]
         W, lmbda = st["W"], st["lmbda"]
@@ -362,15 +402,34 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         # ---- exit tests (coneprog.py:925-1023) -----------------------
         optimal = ((pres <= feastol) & (dres <= feastol)
                    & ((gap <= abstol) | (relgap <= reltol)))
-        maxed = iters >= maxiters
+        maxed = iters >= st["max_it"]
         pinf = pinfres <= feastol
         dinf = dinfres <= feastol
+
+        # per-instance failure detectors (mixed-precision phase only);
+        # see coneqp._body — certificates count as progress too
+        m = jnp.maximum(jnp.maximum(pres, dres) / feastol,
+                        jnp.minimum(gap / abstol, relgap / reltol))
+        m = jnp.minimum(m, jnp.minimum(pinfres, dinfres) / feastol)
+        improved = m < 0.995 * st["best_m"]
+        stall2 = jnp.where(improved, 0, st["stall"] + 1).astype(jnp.int32)
+        best2 = jnp.minimum(st["best_m"], m)
+        if rescue:
+            collapse = (gap <= abstol) & (m > 10.0)
+            regressed = m > 100.0 * st["best_m"]
+            stalled = ((stall2 >= RESCUE_STALL_ITERS) | collapse
+                       | regressed)
+        else:
+            stalled = False
+
         new_status = jnp.where(
             optimal, STATUS_OPTIMAL,
             jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
                       jnp.where(pinf, STATUS_PRIMAL_INFEASIBLE,
                                 jnp.where(dinf, STATUS_DUAL_INFEASIBLE,
-                                          STATUS_RUNNING))))
+                                          jnp.where(stalled,
+                                                    STATUS_NEEDS_F64,
+                                                    STATUS_RUNNING)))))
         new_status = new_status.astype(jnp.int32)
         exiting = new_status != STATUS_RUNNING
 
@@ -380,16 +439,26 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
 
         # one IPM step (runs unconditionally; discarded when exiting —
         # under vmap this is the coasting path)
-        upd = _iteration(x, y, s, z, tau, kappa, W, lmbda, dg, lg,
+        upd = _iteration(fW, x, y, s, z, tau, kappa, W, lmbda, dg, lg,
                          rx, ry, rz, rt)
-        (x2, y2, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2, gap2) = upd
+        (x2, y2, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2, gap2,
+         relres) = upd
 
         ok = (jnp.isfinite(gap2) & jnp.isfinite(tau2)
               & jnp.isfinite(jnp.sum(lmbda2)))
+        if rescue:
+            # diverging refinement far from convergence, or a singular
+            # f32 factor: discard the step, hand to the f64 restart
+            # phase (see coneqp._body for the m > 100 gate rationale)
+            fail = ~ok | ((relres > RESCUE_RELRES) & (m > 100.0))
+            fail_status = STATUS_NEEDS_F64
+        else:
+            fail = ~ok
+            fail_status = STATUS_UNKNOWN_SINGULAR
         new_status = jnp.where(exiting, new_status,
-                               jnp.where(ok, STATUS_RUNNING,
-                                         STATUS_UNKNOWN_SINGULAR))
-        keep = exiting | ~ok
+                               jnp.where(~fail, STATUS_RUNNING,
+                                         fail_status))
+        keep = exiting | fail
 
         def sel(a, bnew):
             return jax.tree_util.tree_map(
@@ -397,6 +466,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
 
         out = dict(st)
         out.update(stats)
+        out.update(best_m=best2, stall=stall2)
         out["status"] = new_status
         out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
         out["x"] = sel(x, x2)
@@ -412,7 +482,33 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         out["gap"] = sel(gap, gap2)
         return out
 
-    final = lax.while_loop(cond, body, state)
+    if factor64 is None:
+        final = lax.while_loop(cond, make_body(factor, False), state)
+    else:
+        # two-phase mixed-precision rescue; see coneqp._coneqp_solve.
+        # Instances phase 1 could not finish RESTART from the initial
+        # point with a fresh iteration budget, so their result is
+        # exactly the full-f64 solver's.  A clean batch never executes
+        # the f64 body (a vmapped while_loop whose condition is false
+        # everywhere runs zero iterations) — the vmap-safe alternative
+        # to lax.cond.
+        st1 = lax.while_loop(cond, make_body(factor, True), state)
+        it1 = st1["iters"]
+        was64 = st1["status"] == STATUS_NEEDS_F64
+        st2 = dict(st1)
+        for k in ("x", "y", "s", "z", "tau", "kappa", "W", "lmbda",
+                  "dg", "lg", "gap"):
+            st2[k] = jax.tree_util.tree_map(
+                lambda u0, u1: jnp.where(was64, u0, u1),
+                state[k], st1[k])
+        st2["status"] = jnp.where(
+            was64, jnp.asarray(STATUS_RUNNING, jnp.int32),
+            st1["status"])
+        st2["stall"] = jnp.zeros_like(st1["stall"])
+        st2["best_m"] = jnp.full_like(st1["best_m"], jnp.inf)
+        st2["max_it"] = jnp.where(was64, it1 + maxiters,
+                                  st1["max_it"]).astype(jnp.int32)
+        final = lax.while_loop(cond, make_body(factor64, False), st2)
 
     # ---- finalization (coneprog.py:925-1023 per-branch scalings) -----
     status = final["status"]
@@ -465,11 +561,17 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
     kktsolver, refinement = _resolve_opts(dims, kktsolver, refinement)
 
     def core(c, G, h, A, b):
+        fd = factor_dtype
+        factor64 = None
+        if fd == "rescue":
+            factor64 = kktmod.get_kktsolver(
+                kktsolver, G, dims, A, kktreg=kktreg, factor_dtype=None)
+            fd = "float32"
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
                                       kktreg=kktreg,
-                                      factor_dtype=factor_dtype)
+                                      factor_dtype=fd)
         return _conelp_solve(
-            dims, factor=factor,
+            dims, factor=factor, factor64=factor64,
             Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
             Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
@@ -547,12 +649,13 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     feastol = float(opts.get("feastol", 1e-7))
     show_progress = bool(opts.get("show_progress", False))
     refinement = opts.get("refinement", None)
-    # mixed precision is OPT-IN ('float32' or 'auto'): an f32 factor
-    # caps the reachable feastol at ~eps_f32*kappa even with f64
-    # refinement (degenerate problems near convergence exceed it), so
-    # the default keeps the reference's full-f64 1e-7 contract
+    # default 'auto': on TPU with x64, mixed-precision f32 factors with
+    # the two-phase f64 rescue — degenerate instances whose equilibrated
+    # f32 factor stalls refinement are finished by a second while_loop
+    # phase with full-f64 factors, preserving the reference's 1e-7
+    # contract (kkt.resolve_factor_dtype); None on CPU / without x64
     factor_dtype = kktmod.resolve_factor_dtype(
-        opts.get("factor_dtype", None))
+        opts.get("factor_dtype", "auto"))
     if factor_dtype is not None and refinement is None:
         refinement = 1   # mixed precision needs one f64 IR round
 
@@ -594,13 +697,20 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     else:
         Af, ATf, p = (lambda x: A @ x), (lambda y: A.T @ y), A.shape[0]
 
+    factor64 = None
     if custom_kkt:
         factor = kktsolver
     else:
         kname, _ = _resolve_opts(dims, kktsolver, refinement)
+        fd = factor_dtype
+        if fd == "rescue":
+            factor64 = kktmod.get_kktsolver(
+                kname, G, dims, A, kktreg=opts.get("kktreg", None),
+                factor_dtype=None)
+            fd = "float32"
         factor = kktmod.get_kktsolver(
             kname, G, dims, A, kktreg=opts.get("kktreg", None),
-            factor_dtype=factor_dtype)
+            factor_dtype=fd)
     _, refinement = _resolve_opts(dims, "default", refinement)
 
     if primalstart is not None:
@@ -628,7 +738,8 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
 
     def run():
         return _conelp_solve(
-            dims, factor=factor, Gf=Gf, GTf=GTf, Af=Af, ATf=ATf,
+            dims, factor=factor, factor64=factor64,
+            Gf=Gf, GTf=GTf, Af=Af, ATf=ATf,
             c=c, h=h, b=b, n=n_var, p=p, dtype=dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,

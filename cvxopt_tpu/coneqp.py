@@ -40,14 +40,16 @@ from cvxopt_tpu import kkt as kktmod
 from cvxopt_tpu.linops import LinearOperator
 from cvxopt_tpu.conelp import (
     STATUS_RUNNING, STATUS_OPTIMAL, STATUS_UNKNOWN_MAXITERS,
-    STATUS_UNKNOWN_SINGULAR, STATUS_STRINGS, STEP, EXPON, _prep_inputs,
+    STATUS_UNKNOWN_SINGULAR, STATUS_NEEDS_F64, STATUS_STRINGS,
+    STEP, EXPON, RESCUE_STALL_ITERS, RESCUE_RELRES, _prep_inputs,
+    _tnorm_parts,
 )
 
 
 def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
                   q, h, b, n, p, dtype, maxiters, abstol, reltol,
                   feastol, refinement, correction, show_progress,
-                  initvals=None):
+                  initvals=None, factor_W64=None):
     """The coneqp algorithm with all linear maps abstracted as closures
     (coneprog.py:1440-2547).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -85,11 +87,14 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         iters=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(STATUS_RUNNING, jnp.int32),
         pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
+        best_m=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0, jnp.int32),
+        max_it=jnp.asarray(maxiters, jnp.int32),
     )
 
-    def _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz):
+    def _iteration(fW, x, y, s, z, W, lmbda, gap, rx, ry, rz):
         lmbdasq = cones.ssqr(lmbda, dims)
-        f3 = factor_W(W)
+        f3 = fW(W)
 
         def f4_no_ir(bx, by_, bz, bs):
             # (coneprog.py:2288-2316)
@@ -110,18 +115,23 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
 
         def f4(bx, by_, bz, bs):
             u = f4_no_ir(bx, by_, bz, bs)
+            relres = jnp.asarray(0.0, gap.dtype)
             for _ in range(refinement):
                 v = resid4(*u, bx, by_, bz, bs)
+                # contraction of one solve round: the mixed-precision
+                # failure detector (conelp.RESCUE_RELRES)
+                relres = _tnorm_parts(v) / jnp.maximum(
+                    _tnorm_parts((bx, by_, bz, bs)), 1e-30)
                 du = f4_no_ir(*v)
                 u = tuple(a + d for a, d in zip(u, du))
-            return u
+            return u, relres
 
         mu = gap / dims.cdim_diag
         lmbdasq_full = cones.diag_embed(lmbdasq, dims)
 
         # ---- predictor (i=0, coneprog.py:2360-2455) ------------------
         ds_in = -lmbdasq_full
-        dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
+        (dx, dy, dz, ds), rr1 = f4(-rx, -ry, -rz, ds_in)
         dsdz = cones.sdot(ds, dz, dims)
         ws3 = cones.sprod(ds, dz, dims)
         ds_sc = nt.scale2(lmbda, ds, dims)
@@ -138,7 +148,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         ds_in = -lmbdasq_full + sigma * mu * e
         if correction:
             ds_in = ds_in - ws3
-        dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
+        (dx, dy, dz, ds), rr2 = f4(-rx, -ry, -rz, ds_in)
         ds_sc = nt.scale2(lmbda, ds, dims)
         dz_sc = nt.scale2(lmbda, dz, dims)
         ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
@@ -176,12 +186,17 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         s2 = nt.scale(lam_full, W2, dims, trans="T")
         z2 = nt.scale(lam_full, W2, dims, inverse="I")
         gap2 = jnp.dot(lmbda2, lmbda2)
-        return x, y, s2, z2, W2, lmbda2, gap2
+        return x, y, s2, z2, W2, lmbda2, gap2, jnp.maximum(rr1, rr2)
 
     def cond(st):
         return st["status"] == STATUS_RUNNING
 
-    def body(st):
+    def make_body(fW, rescue):
+        def body(st):
+            return _body(st, fW, rescue)
+        return body
+
+    def _body(st, fW, rescue):
         x, y, s, z = st["x"], st["y"], st["s"], st["z"]
         W, lmbda, gap = st["W"], st["lmbda"], st["gap"]
         iters = st["iters"]
@@ -213,21 +228,53 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
 
         optimal = ((pres <= feastol) & (dres <= feastol)
                    & ((gap <= abstol) | (relgap <= reltol)))
-        maxed = iters >= maxiters
+        maxed = iters >= st["max_it"]
+
+        # per-instance failure detectors (rescue phase only; see
+        # conelp.RESCUE_* constants): the scalar convergence measure
+        # m <= 1 iff optimal.  `stalled` hands the instance to the f64
+        # restart phase.
+        m = jnp.maximum(jnp.maximum(pres, dres) / feastol,
+                        jnp.minimum(gap / abstol, relgap / reltol))
+        improved = m < 0.995 * st["best_m"]
+        stall2 = jnp.where(improved, 0, st["stall"] + 1).astype(jnp.int32)
+        best2 = jnp.minimum(st["best_m"], m)
+        if rescue:
+            collapse = (gap <= abstol) & (m > 10.0)
+            regressed = m > 100.0 * st["best_m"]
+            stalled = ((stall2 >= RESCUE_STALL_ITERS) | collapse
+                       | regressed)
+        else:
+            stalled = False
+
         new_status = jnp.where(
             optimal, STATUS_OPTIMAL,
             jnp.where(maxed, STATUS_UNKNOWN_MAXITERS,
-                      STATUS_RUNNING)).astype(jnp.int32)
+                      jnp.where(stalled, STATUS_NEEDS_F64,
+                                STATUS_RUNNING))).astype(jnp.int32)
         exiting = new_status != STATUS_RUNNING
 
-        upd = _iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz)
-        x2, y2, s2, z2, W2, lmbda2, gap2 = upd
+        upd = _iteration(fW, x, y, s, z, W, lmbda, gap, rx, ry, rz)
+        x2, y2, s2, z2, W2, lmbda2, gap2, relres = upd
 
         ok = jnp.isfinite(gap2) & jnp.isfinite(jnp.sum(lmbda2))
+        if rescue:
+            # diverging refinement far from convergence, or a singular
+            # f32 factor (NaN step): discard the step, hand to the f64
+            # restart phase (the reference's singularity handling
+            # retries too — misc.py:1433-1447, same spirit).  The
+            # m > 100 gate stops transient near-convergence residual
+            # expansion (harmless — the outcome triggers would catch
+            # any real failure) from flagging clean instances.
+            fail = ~ok | ((relres > RESCUE_RELRES) & (m > 100.0))
+            fail_status = STATUS_NEEDS_F64
+        else:
+            fail = ~ok
+            fail_status = STATUS_UNKNOWN_SINGULAR
         new_status = jnp.where(exiting, new_status,
-                               jnp.where(ok, STATUS_RUNNING,
-                                         STATUS_UNKNOWN_SINGULAR))
-        keep = exiting | ~ok
+                               jnp.where(~fail, STATUS_RUNNING,
+                                         fail_status))
+        keep = exiting | fail
 
         def sel(a, bnew):
             return jax.tree_util.tree_map(
@@ -235,7 +282,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
 
         out = dict(st)
         out.update(pcost=pcost, dcost=dcost, relgap=relgap,
-                   pres=pres, dres=dres)
+                   pres=pres, dres=dres, best_m=best2, stall=stall2)
         out["status"] = new_status
         out["iters"] = iters + jnp.where(keep, 0, 1).astype(jnp.int32)
         out["x"] = sel(x, x2)
@@ -247,7 +294,36 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         out["gap"] = sel(gap, gap2)
         return out
 
-    final = lax.while_loop(cond, body, state)
+    if factor_W64 is None:
+        final = lax.while_loop(cond, make_body(factor_W, False), state)
+        rescue_iters = jnp.asarray(0, jnp.int32)
+    else:
+        # phase 1: mixed-precision factor with per-instance failure
+        # detection; phase 2: full-precision factor, entered ONLY by
+        # instances phase 1 could not finish — those RESTART from the
+        # initial point with a fresh iteration budget, so their result
+        # is exactly the full-f64 solver's.  Under vmap a
+        # lax.while_loop body never executes once every instance's
+        # condition is false, so a clean batch pays nothing for the
+        # f64 fallback — the vmap-safe alternative to `lax.cond`
+        # (whose branches both execute under vmap).
+        st1 = lax.while_loop(cond, make_body(factor_W, True), state)
+        it1 = st1["iters"]
+        was64 = st1["status"] == STATUS_NEEDS_F64
+        st2 = dict(st1)
+        for k in ("x", "y", "s", "z", "W", "lmbda", "gap"):
+            st2[k] = jax.tree_util.tree_map(
+                lambda u0, u1: jnp.where(was64, u0, u1),
+                state[k], st1[k])
+        st2["status"] = jnp.where(
+            was64, jnp.asarray(STATUS_RUNNING, jnp.int32),
+            st1["status"])
+        st2["stall"] = jnp.zeros_like(st1["stall"])
+        st2["best_m"] = jnp.full_like(st1["best_m"], jnp.inf)
+        st2["max_it"] = jnp.where(was64, it1 + maxiters,
+                                  st1["max_it"]).astype(jnp.int32)
+        final = lax.while_loop(cond, make_body(factor_W64, False), st2)
+        rescue_iters = final["iters"] - it1
     ts = cones.max_step(final["s"], dims)
     tz = cones.max_step(final["z"], dims)
     return dict(
@@ -257,6 +333,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         pcost=final["pcost"], dcost=final["dcost"],
         pres=final["pres"], dres=final["dres"],
         primal_slack=-ts, dual_slack=-tz,
+        rescue_iterations=rescue_iters,
     )
 
 
@@ -285,11 +362,19 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
                                              refinement)
 
     def core(P, q, G, h, A, b):
+        fd = factor_dtype
+        factor_W64 = None
+        if fd == "rescue":
+            f64 = kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                       kktreg=kktreg, factor_dtype=None)
+            factor_W64 = lambda W: f64(W, P)
+            fd = "float32"
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
                                       kktreg=kktreg,
-                                      factor_dtype=factor_dtype)
+                                      factor_dtype=fd)
         return _coneqp_solve(
             dims, factor_W=lambda W: factor(W, P),
+            factor_W64=factor_W64,
             Pf=lambda x: P @ x,
             Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
             Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
@@ -299,6 +384,97 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
             correction=correction, show_progress=show_progress)
 
     return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=128)
+def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
+                        maxiters: int = 100, abstol: float = 1e-7,
+                        reltol: float = 1e-6, feastol: float = 1e-7,
+                        refinement: Optional[int] = None,
+                        kktreg: Optional[float] = None,
+                        correction: bool = True,
+                        phase1_tol: float = 1e-4,
+                        shared_GhAb: bool = True):
+    """Progressive-precision coneqp for TPU batches:
+    solve(P, q, G, h, A, b) with a leading batch axis on P and q (and
+    on G/h/A/b too unless ``shared_GhAb``), solving to the full
+    1e-7-class tolerances at close to f32 speed.
+
+    Three phases:
+
+      A. pure-f32 vmapped solve to `phase1_tol` — every op at
+         TPU-native f32 rates (the bulk of the iterations);
+      B. warm-started f64-residual / f32-factor solve (iterative
+         refinement recovers f64-class KKT accuracy) from phase A's
+         iterates down to the target tolerances — typically 3-5
+         iterations;
+      C. per-instance f64-factor rescue for anything phase B could not
+         finish (restart semantics; zero cost when unused — see
+         `_coneqp_solve`).
+
+    Phase A's endpoint is an interior, approximately-centered iterate,
+    so phase B is a textbook IPM warm start (initvals semantics,
+    coneprog.py:1521-1530).  Total `iterations` counts all phases.
+    Phases A and B+C are SEPARATE jitted programs (one jit holding
+    both OOMs HBM at B=1024/n=256: each phase's temporaries are ~9 GB);
+    the intermediate iterates stay on device.  Requires x64; inputs in
+    f64.
+    """
+    kktsolver, refinement = _resolve_qp_opts(dims, kktsolver,
+                                             refinement)
+    refinement_b = max(1, refinement)
+    f32 = jnp.float32
+
+    def phase_a(P, q, G, h, A, b):
+        P1, q1, G1, h1, A1, b1 = (u.astype(f32)
+                                  for u in (P, q, G, h, A, b))
+        factor_a = kktmod.get_kktsolver(kktsolver, G1, dims, A1,
+                                        kktreg=kktreg)
+        raw = _coneqp_solve(
+            dims, factor_W=lambda W: factor_a(W, P1),
+            Pf=lambda x: P1 @ x,
+            Gf=lambda x: G1 @ x, GTf=lambda z: G1.T @ z,
+            Af=lambda x: A1 @ x, ATf=lambda y: A1.T @ y,
+            q=q1, h=h1, b=b1, n=q.shape[0], p=A.shape[0], dtype=f32,
+            maxiters=maxiters, abstol=max(phase1_tol, abstol),
+            reltol=max(phase1_tol, reltol),
+            feastol=max(phase1_tol, feastol), refinement=0,
+            correction=correction, show_progress=False)
+        return {k: raw[k] for k in ("x", "y", "s", "z", "iterations")}
+
+    def phase_bc(P, q, G, h, A, b, iv):
+        f64fac = kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                      kktreg=kktreg, factor_dtype=None)
+        factor_b = kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                        kktreg=kktreg,
+                                        factor_dtype="float32")
+        return _coneqp_solve(
+            dims, factor_W=lambda W: factor_b(W, P),
+            factor_W64=lambda W: f64fac(W, P),
+            Pf=lambda x: P @ x,
+            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
+            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            q=q, h=h, b=b, n=q.shape[0], p=A.shape[0], dtype=q.dtype,
+            maxiters=maxiters, abstol=abstol, reltol=reltol,
+            feastol=feastol, refinement=refinement_b,
+            correction=correction, show_progress=False, initvals=iv)
+
+    data_axes = (0, 0, None, None, None, None) if shared_GhAb \
+        else (0, 0, 0, 0, 0, 0)
+    va = jax.jit(jax.vmap(phase_a, in_axes=data_axes))
+    vb = jax.jit(jax.vmap(phase_bc, in_axes=data_axes + (0,)))
+
+    def solve(P, q, G, h, A, b):
+        raw_a = va(P, q, G, h, A, b)
+        iv = {k: raw_a[k].astype(jnp.asarray(P).dtype)
+              for k in ("x", "y", "s", "z")}
+        raw = vb(P, q, G, h, A, b, iv)
+        raw = dict(raw)
+        raw["iterations"] = raw["iterations"] + raw_a["iterations"]
+        raw["phase1_iterations"] = raw_a["iterations"]
+        return raw
+
+    return solve
 
 
 def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
@@ -333,9 +509,10 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
     show_progress = bool(opts.get("show_progress", False))
     correction = bool(opts.get("use_correction", True))
     refinement = opts.get("refinement", None)
-    # mixed precision is OPT-IN ('float32' or 'auto'); see conelp.py
+    # default 'auto': on TPU with x64, mixed-precision factors with the
+    # two-phase f64 rescue (kkt.resolve_factor_dtype); None elsewhere
     factor_dtype = kktmod.resolve_factor_dtype(
-        opts.get("factor_dtype", None))
+        opts.get("factor_dtype", "auto"))
     if factor_dtype is not None and refinement is None:
         refinement = 1   # mixed precision needs one f64 IR round
 
@@ -371,13 +548,21 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
         Af, ATf, pdim = (lambda x: A @ x), (lambda y_: A.T @ y_), \
             A.shape[0]
 
+    factor_W64 = None
     if custom_kkt:
         factor_W = kktsolver
     else:
         kname, _ = _resolve_qp_opts(dims, kktsolver, refinement)
+        fd = factor_dtype
+        if fd == "rescue":
+            f64 = kktmod.get_kktsolver(
+                kname, G, dims, A, kktreg=opts.get("kktreg", None),
+                factor_dtype=None)
+            factor_W64 = lambda W: f64(W, P)
+            fd = "float32"
         factor = kktmod.get_kktsolver(
             kname, G, dims, A, kktreg=opts.get("kktreg", None),
-            factor_dtype=factor_dtype)
+            factor_dtype=fd)
         factor_W = lambda W: factor(W, P)
     _, refinement = _resolve_qp_opts(dims, "default", refinement)
 
@@ -395,7 +580,8 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
 
     def run():
         return _coneqp_solve(
-            dims, factor_W=factor_W, Pf=Pf, Gf=Gf, GTf=GTf, Af=Af,
+            dims, factor_W=factor_W, factor_W64=factor_W64,
+            Pf=Pf, Gf=Gf, GTf=GTf, Af=Af,
             ATf=ATf, q=q, h=h, b=b, n=n, p=pdim, dtype=dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,

@@ -135,10 +135,15 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
 
     def factor(W, H=None, Df=None):
         GG = _stack_gg(G, Df)
-        Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
-        io_dtype = Gs.dtype
+        io_dtype = GG.dtype
         if factor_dtype is not None:
-            Gs = Gs.astype(factor_dtype)
+            # cast before scaling (see kkt_chol2.factor)
+            Wf = jax.tree_util.tree_map(
+                lambda u: u.astype(factor_dtype), W)
+            Gs = scale_rows(GG.astype(factor_dtype), Wf, dims,
+                            trans="T", inverse="I")
+        else:
+            Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
         S = Gs.T @ Gs
         if H is not None:
             S = S + H.astype(S.dtype)
@@ -174,9 +179,11 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
                 return w
 
         def solve(bx, by, bz):
-            # rhs r = bx + GG' W^{-1} W^{-T} bz
-            zs = scale(bz, W, dims, trans="T", inverse="I")
-            r = (bx + Gs.astype(io_dtype).T @ zs).astype(S.dtype)
+            # rhs r = bx + GG' W^{-1} W^{-T} bz via the unscaled GG
+            # (shared across vmapped batches; see kkt_chol2.solve)
+            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
+                       W, dims, inverse="I")
+            r = (bx + GG.T @ zs).astype(S.dtype)
             byf = by.astype(S.dtype)
             if p:
                 # v1 from A ux = by:  R' v1 = by
@@ -327,13 +334,20 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
 
     def factor(W, H=None, Df=None):
         GG = _stack_gg(G, Df)
-        Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
-        io_dtype = Gs.dtype
+        io_dtype = GG.dtype
         if factor_dtype is not None:
-            # mixed precision: factor in factor_dtype (f32 on TPU, where
-            # f64 linear algebra is emulated); the solvers' f64
-            # iterative refinement recovers full accuracy
-            Gs = Gs.astype(factor_dtype)
+            # mixed precision: factor in factor_dtype (f32 on TPU,
+            # where f64 linear algebra is emulated); the solvers' f64
+            # iterative refinement recovers full accuracy.  Cast BEFORE
+            # scaling so the batched scaled matrix only ever exists in
+            # f32 — under vmap a per-instance f64 Gs is the dominant
+            # memory and bandwidth cost (B x (cdim, n) x 8 bytes)
+            Wf = jax.tree_util.tree_map(
+                lambda u: u.astype(factor_dtype), W)
+            Gs = scale_rows(GG.astype(factor_dtype), Wf, dims,
+                            trans="T", inverse="I")
+        else:
+            Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
         S = Gs.T @ Gs
         if H is not None:
             S = S + H.astype(S.dtype)
@@ -375,8 +389,12 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
             Lk = jnp.linalg.cholesky(K)
 
         def solve(bx, by, bz):
-            zs = scale(bz, W, dims, trans="T", inverse="I")
-            r = (bx + Gs.astype(io_dtype).T @ zs).astype(S.dtype)
+            # r = bx + GG' W^{-1} W^{-T} bz, computed through the
+            # UNSCALED GG (Gs' (W^{-T}bz) == GG' (W^{-1}W^{-T}bz)): GG
+            # is shared across a vmapped batch while Gs is per-instance
+            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
+                       W, dims, inverse="I")
+            r = (bx + GG.T @ zs).astype(S.dtype)
             t = Sinv(r)
             if p:
                 rhs = A.astype(S.dtype) @ t - by.astype(S.dtype)
@@ -432,11 +450,17 @@ def kkt_qr(G, dims: ConeDims, A, mnl: int = 0,
             raise ValueError("kkt_qr requires a zero (1,1) block "
                              "(conelp only)")
         GG = _stack_gg(G, Df)
-        Gs = pack_matrix_cols(
-            scale_rows(GG, W, dims, trans="T", inverse="I"), dims)
-        io_dtype = Gs.dtype
+        io_dtype = GG.dtype
         if factor_dtype is not None:
-            Gs = Gs.astype(factor_dtype)
+            # cast before scaling (see kkt_chol2.factor)
+            Wf = jax.tree_util.tree_map(
+                lambda u: u.astype(factor_dtype), W)
+            Gs = pack_matrix_cols(
+                scale_rows(GG.astype(factor_dtype), Wf, dims,
+                           trans="T", inverse="I"), dims)
+        else:
+            Gs = pack_matrix_cols(
+                scale_rows(GG, W, dims, trans="T", inverse="I"), dims)
         Q1f, Q2f = Q1.astype(Gs.dtype), Q2.astype(Gs.dtype)
         Gs1 = Gs @ Q1f                                   # (pdim, p)
         Q3, R3 = jnp.linalg.qr(Gs @ Q2f, mode="reduced")  # (pdim, n-p)
@@ -503,13 +527,20 @@ def kkt_qr(G, dims: ConeDims, A, mnl: int = 0,
 def resolve_factor_dtype(factor_dtype):
     """Resolve the `options['factor_dtype']` setting.
 
-    'auto' (the front-end default): factor in f32 when running f64 on
-    a TPU backend — f64 there is emulated (slow, ~1e-6 accurate) and
-    LU has no f64 lowering at all, while an f32 factor plus one round
-    of f64 iterative refinement recovers f64-class KKT residuals
-    (measured ~5e-14; docs/performance.md).  On CPU, or without x64,
-    'auto' resolves to None (factor in the working dtype).  Explicit
-    'none'/False disable; any other value passes through unchanged.
+    'auto' (the front-end default): when running f64 on a TPU backend
+    — where f64 linear algebra is emulated (slow) and LU has no f64
+    lowering at all — resolve to 'rescue': factor in equilibrated f32
+    (plus f64 iterative refinement, which recovers f64-class KKT
+    residuals, measured ~5e-14; docs/performance.md), with a
+    per-instance stall detector that hands instances the f32 factor
+    cannot finish to a second solve phase using full-f64 factors.  The
+    second phase executes zero iterations when every instance
+    converges in phase 1, so clean (vmapped) batches run at
+    mixed-precision speed while degenerate problems still meet the
+    1e-7 contract.  On CPU, or without x64, 'auto' resolves to None
+    (factor in the working dtype).  Explicit 'none'/False disable;
+    'float32' forces single-phase mixed precision (no rescue);
+    'rescue' forces the two-phase mode; anything else passes through.
     """
     if factor_dtype in ("none", False):
         return None
@@ -517,7 +548,7 @@ def resolve_factor_dtype(factor_dtype):
         import jax
         if jax.config.jax_enable_x64 and \
                 jax.devices()[0].platform != "cpu":
-            return "float32"
+            return "rescue"
         return None
     return factor_dtype
 

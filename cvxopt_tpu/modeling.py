@@ -427,7 +427,6 @@ class op:
         self.constraints = list(constraints or [])
         self.name = name
         self.status = None
-        self._mps = None
 
     def variables(self):
         vs = []
@@ -561,8 +560,6 @@ class op:
 
     def solve(self, format="dense", solver=None, options=None):
         """Transform to an LP and solve (modeling.py:2579-2636)."""
-        if self._mps is not None:
-            return self._solve_mps(options)
         from cvxopt_tpu.solvers import lp as lp_solver
         cvec, obj_const, G, h, A, b, offs, con_rows = self._tolp()
         sol = lp_solver(cvec, G, h, A=A, b=b, solver=solver,
@@ -579,16 +576,6 @@ class op:
                 src = z if kind == "G" else y
                 if src is not None:
                     c.multiplier.value = src[off:off + m]
-        return sol
-
-    def _solve_mps(self, options=None):
-        from cvxopt_tpu.solvers import lp as lp_solver
-        d = self._mps
-        c, G, h, A, b = d.to_lp()
-        sol = lp_solver(c, G, h, A=A, b=b, options=options)
-        self.status = sol["status"]
-        if sol["status"] == "optimal":
-            self._mps_x = np.asarray(sol["x"])
         return sol
 
     def tofile(self, path):
@@ -619,9 +606,32 @@ class op:
         mpsio.mps_write(path, data)
 
     def fromfile(self, path):
-        """Load an LP from an MPS file (modeling.py:2760)."""
+        """Load an LP from an MPS file (modeling.py:2760) as real
+        modeling objects — one vector variable plus matrix
+        constraints — so `objective.value()` and `variable.value`
+        work after `solve()` the same way as for hand-built problems.
+        OBJSENSE MAX files arrive already negated into minimize form
+        (mpsio.mps_load)."""
         from cvxopt_tpu import mpsio
-        self._mps = mpsio.mps_load(path)
+        d = mpsio.mps_load(path)
+        c, G, h, A, b = d.to_lp()
+        n = c.shape[0]
+        x = variable(n, "x")
+        obj = dot(np.asarray(c, dtype=float), x)
+        if d.objconst:
+            obj = obj + float(d.objconst)
+        self.objective = _to_expr(obj)
+        self.constraints = []
+        if G.shape[0]:
+            self.constraints.append(
+                np.asarray(G, dtype=float) @ x <= np.asarray(
+                    h, dtype=float))
+        if A is not None and A.shape[0]:
+            self.constraints.append(
+                np.asarray(A, dtype=float) @ x == np.asarray(
+                    b, dtype=float))
+        if d.name and not self.name:
+            self.name = d.name
         return self
 
     def __repr__(self):

@@ -17,10 +17,10 @@ solvers and the shared `options` dict.
 """
 
 from cvxopt_tpu.conelp import conelp, make_conelp
-from cvxopt_tpu.coneqp import coneqp, make_coneqp
+from cvxopt_tpu.coneqp import coneqp, make_coneqp, make_coneqp_cascade
 from cvxopt_tpu.frontends import lp, qp, socp, sdp
 
 options = {}
 
 __all__ = ["conelp", "coneqp", "lp", "qp", "socp", "sdp", "options",
-           "make_conelp", "make_coneqp"]
+           "make_conelp", "make_coneqp", "make_coneqp_cascade"]
