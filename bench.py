@@ -1,22 +1,29 @@
 """Benchmark driver — prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Headline config (BASELINE.md config 5): a batch of independent n=256
-scenario QPs (box + budget constraints), vmapped and solved on the TPU
-chip in one jit-compiled program.  Metric: aggregate IPM iterations/s.
+scenario QPs (box + budget constraints) solved ON THE TPU to the
+REFERENCE-DEFAULT accuracy contract — abstol = reltol = feastol = 1e-7
+(/root/reference/src/python/coneprog.py:440-454) — via the
+progressive-precision cascade (coneqp.make_coneqp_cascade): a pure-f32
+phase to 1e-4, a warm-started f64-residual/f32-factor phase to 1e-7,
+and a per-instance f64 rescue phase for anything the mixed factor
+cannot finish.  Metric: aggregate IPM iterations/s across the batch.
 
 Baseline: the same workload solved one instance at a time by the
 single-core numpy/LAPACK reference implementation (cvxopt_tpu/_npref.py
 — the same algorithm CVXOPT runs: interpreted Python driving LAPACK
-potrf/potrs), restricted to one thread.
+potrf/potrs), restricted to one thread, at the same 1e-7 tolerances.
 
-Extra diagnostic fields beyond the required four are included in the
-same JSON line.
+Extra fields beyond the required four: the f32 diagnostic mode (the
+round-1 headline), the n=10240 KKT factorize+solve time (BASELINE
+primary metric), a batched SOCP config (BASELINE config 3 pattern) and
+a single mcsdp-pattern SDP at n=200 (BASELINE config 4).
 """
 
 import os
 
-os.environ.setdefault("OMP_NUM_THREADS", "1")  # single-core baseline, as stated
+os.environ.setdefault("OMP_NUM_THREADS", "1")  # single-core baseline
 
 import json
 import sys
@@ -44,82 +51,233 @@ def make_batch(nb, n, dtype=np.float64, seed=0):
             h.astype(dtype), A.astype(dtype), b.astype(dtype))
 
 
-def bench_tpu(nb, n, dtype, tol, maxiters=50):
+def bench_cascade(nb, n, maxiters=50):
+    """Headline: 1e-7-accuracy batched QPs via the precision cascade."""
+    import jax
+    import jax.numpy as jnp
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.coneqp import make_coneqp_cascade
+
+    dims = ConeDims(l=2 * n)
+    solve = make_coneqp_cascade(dims, kktsolver="chol2_inv",
+                                maxiters=maxiters, abstol=1e-7,
+                                reltol=1e-7, feastol=1e-7)
+    I = jnp.eye(n, dtype=jnp.float64)
+    G1 = jnp.concatenate([-I, I], axis=0)
+    h1 = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
+    A1 = jnp.ones((1, n), jnp.float64)
+    b1 = jnp.ones((1,), jnp.float64)
+
+    # Problem data is generated ON DEVICE from a scalar seed: the
+    # remote-execution path ships input buffers per request, so
+    # host-side batches would measure the tunnel, not the TPU.
+    @jax.jit
+    def gen(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), nb)
+
+        def one(k):
+            kF, kq = jax.random.split(k)
+            F = jax.random.normal(kF, (n, n // 4), jnp.float64) \
+                / np.sqrt(n)
+            return (F @ F.T + 0.1 * I,
+                    -jax.random.uniform(kq, (n,), jnp.float64, 0., .1))
+
+        return jax.vmap(one)(keys)
+
+    def run(seed):
+        P, q = gen(seed)
+        out = solve(P, q, G1, h1, A1, b1)
+        return (out["status"], out["iterations"],
+                jnp.max(out["relgap"]), jnp.max(out["gap"]),
+                jnp.max(out["pres"]), jnp.max(out["dres"]),
+                jnp.sum(out["rescue_iterations"]),
+                jnp.sum(out["phase1_iterations"]))
+
+    t0 = time.time()
+    o = run(0)
+    jax.block_until_ready(o)
+    compile_s = time.time() - t0
+
+    reps, ti, solved, p1 = 3, 0, 0, 0
+    t0 = time.time()
+    for r in range(reps):
+        o = run(r + 1)
+        jax.block_until_ready(o)
+        solved += int((np.asarray(o[0]) == 0).sum())
+        ti += int(np.asarray(o[1]).sum())
+        p1 += int(np.asarray(o[7]).sum())
+    dt = (time.time() - t0) / reps
+    return dict(
+        iters_per_s=ti / reps / dt,
+        time_s=dt, compile_s=compile_s,
+        solved=f"{solved}/{nb * reps}",
+        max_relgap=float(o[2]), max_gap=float(o[3]),
+        max_pres=float(o[4]), max_dres=float(o[5]),
+        rescue_iters=int(o[6]),
+        phase1_frac=round(p1 / max(ti, 1), 3),
+        device=str(jax.devices()[0]),
+    )
+
+
+def bench_f32(nb, n, tol=1e-4, maxiters=50):
+    """Diagnostic: the pure-f32 mode (round-1 headline)."""
     import jax
     import jax.numpy as jnp
     from cvxopt_tpu.cones import ConeDims
     from cvxopt_tpu.coneqp import make_coneqp
 
+    dtype = jnp.float32
     dims = ConeDims(l=2 * n)
-    # 'chol2_inv': explicit-inverse factor — the TPU fast path (batched
-    # 1-RHS triangular solves are sequential-bound; see kkt.kkt_chol2)
     core = make_coneqp(dims, kktsolver="chol2_inv", maxiters=maxiters,
                        abstol=tol, reltol=tol, feastol=tol)
-
-    # Problem data is generated ON DEVICE inside the jitted program
-    # from a scalar seed: the remote-execution path ships input buffers
-    # per request, so host-side batches would measure the tunnel, not
-    # the TPU; a scalar input also makes every rep a distinct
-    # computation (identical requests can be served from a cache).
     I = jnp.eye(n, dtype=dtype)
     G1 = jnp.concatenate([-I, I], axis=0)
     h1 = jnp.concatenate([jnp.zeros(n, dtype), jnp.ones(n, dtype)])
     A1 = jnp.ones((1, n), dtype=dtype)
     b1 = jnp.ones((1,), dtype=dtype)
 
-    def gen(key):
-        kF, kq = jax.random.split(key)
-        F = jax.random.normal(kF, (n, n // 4), dtype) / jnp.sqrt(
-            jnp.asarray(n, dtype))
-        P = F @ F.T + 0.1 * I
-        q = -jax.random.uniform(kq, (n,), dtype, 0.0, 0.1)
-        return P, q
-
+    @jax.jit
     def run(seed):
         keys = jax.random.split(jax.random.PRNGKey(seed), nb)
+
+        def gen(k):
+            kF, kq = jax.random.split(k)
+            F = jax.random.normal(kF, (n, n // 4), dtype) / jnp.sqrt(
+                jnp.asarray(n, dtype))
+            return (F @ F.T + 0.1 * I,
+                    -jax.random.uniform(kq, (n,), dtype, 0.0, 0.1))
+
         P, q = jax.vmap(gen)(keys)
         out = jax.vmap(lambda Pk, qk: core(Pk, qk, G1, h1, A1, b1))(
             P, q)
-        return (out["status"], out["iterations"],
-                jnp.max(out["relgap"]))
+        return out["status"], out["iterations"], jnp.max(out["relgap"])
 
-    run = jax.jit(run)
+    o = run(0)
+    jax.block_until_ready(o)
+    reps, ti, solved = 3, 0, 0
+    t0 = time.time()
+    for r in range(reps):
+        o = run(r + 1)
+        jax.block_until_ready(o)
+        solved += int((np.asarray(o[0]) == 0).sum())
+        ti += int(np.asarray(o[1]).sum())
+    dt = (time.time() - t0) / reps
+    return dict(iters_per_s=round(ti / reps / dt, 1),
+                solved=f"{solved}/{nb * reps}",
+                max_relgap=float(o[2]))
+
+
+def bench_socp(nb=256, n=64, nq=100, mq=4, maxiters=50):
+    """BASELINE config 3 pattern (robls): batched QPs with nq
+    second-order cone constraints, solved to 1e-7 via the cascade."""
+    import jax
+    import jax.numpy as jnp
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.coneqp import make_coneqp_cascade
+
+    dims = ConeDims(q=(mq,) * nq)
+    solve = make_coneqp_cascade(dims, kktsolver="chol2_inv",
+                                maxiters=maxiters, abstol=1e-7,
+                                reltol=1e-7, feastol=1e-7,
+                                shared_GhAb=False)
+    m = dims.cdim
+
+    @jax.jit
+    def gen(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), nb)
+
+        def one(k):
+            kF, kq_, kG, kf = jax.random.split(k, 4)
+            F = jax.random.normal(kF, (n, n // 4), jnp.float64) \
+                / np.sqrt(n)
+            P = F @ F.T + 0.1 * jnp.eye(n)
+            q = -jax.random.uniform(kq_, (n,), jnp.float64, 0., .1)
+            # per block: ||D_i x + f_i|| <= g_i'x + 1 (x=0 strictly
+            # feasible);  G rows: [-g_i'; -D_i], h: [1; f_i]
+            G = 0.3 * jax.random.normal(kG, (m, n), jnp.float64)
+            f = 0.1 * jax.random.normal(kf, (m,), jnp.float64)
+            h = f.reshape(nq, mq).at[:, 0].set(1.0).reshape(-1)
+            return P, q, G, h
+
+        return jax.vmap(one)(keys)
+
+    A0 = jnp.zeros((0, n), jnp.float64)
+    b0 = jnp.zeros((0,), jnp.float64)
+
+    def run(seed):
+        P, q, G, h = gen(seed)
+        Ab = jnp.broadcast_to(A0, (nb, 0, n))
+        bb = jnp.broadcast_to(b0, (nb, 0))
+        out = solve(P, q, G, h, Ab, bb)
+        return (out["status"], out["iterations"], jnp.max(out["gap"]),
+                jnp.max(out["pres"]), jnp.max(out["dres"]))
 
     t0 = time.time()
-    st, it, rg = run(0)
-    jax.block_until_ready((st, it, rg))
-    compile_and_first = time.time() - t0
-
-    reps, dt, total_iters, solved = 0, 0.0, 0, 0
+    o = run(0)
+    jax.block_until_ready(o)
+    compile_s = time.time() - t0
+    reps, ti, solved = 2, 0, 0
     t0 = time.time()
-    while dt < 2.0 and reps < 16:
-        st, it, rg = run(reps + 1)
-        jax.block_until_ready((st, it, rg))
-        total_iters += int(np.asarray(it).sum())
-        solved += int((np.asarray(st) == 0).sum())
-        reps += 1
-        dt = time.time() - t0
-        if os.environ.get("BENCH_DEBUG"):
-            print(f"  rep {reps}: cumulative {dt:.3f}s",
-                  file=sys.stderr)
-    dt = dt / reps
-
-    return dict(
-        time_s=dt,
-        compile_s=compile_and_first,
-        total_iters=total_iters,
-        solved=solved,
-        nb=nb * reps,
-        max_relgap=float(np.asarray(rg)),
-        iters_per_s=float(total_iters / reps / dt),
-        backend=jax.devices()[0].platform,
-        device=str(jax.devices()[0]),
-    )
+    for r in range(reps):
+        o = run(r + 1)
+        jax.block_until_ready(o)
+        solved += int((np.asarray(o[0]) == 0).sum())
+        ti += int(np.asarray(o[1]).sum())
+    dt = (time.time() - t0) / reps
+    return dict(iters_per_s=round(ti / reps / dt, 1),
+                solved=f"{solved}/{nb * reps}",
+                config=f"{nb}x n={n} QP with {nq} SOC({mq}) blocks",
+                max_gap=float(o[2]), max_pres=float(o[3]),
+                max_dres=float(o[4]), compile_s=round(compile_s, 1))
 
 
-def bench_large_kkt(n=8192):
+def bench_sdp(m=200, maxiters=30):
+    """BASELINE config 4 (mcsdp pattern): min 1'x s.t. w + diag(x) >= 0
+    (one (m,m) PSD block).  Reports per-iteration wall time — the 's'
+    path runs batched eigh/SVD per iteration (SURVEY 'hard parts')."""
+    import jax
+    import jax.numpy as jnp
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.conelp import make_conelp
+
+    n = m
+    dims = ConeDims(s=(m,))
+    core = make_conelp(dims, kktsolver="qr", maxiters=maxiters,
+                       abstol=1e-6, reltol=1e-6, feastol=1e-6,
+                       refinement=1, factor_dtype="float32")
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((m, m))
+    w = (w + w.T) / np.sqrt(m)
+    G = np.zeros((m * m, n))
+    for j in range(n):
+        G[j * m + j, j] = -1.0
+    c = jnp.ones((n,), jnp.float64)
+    Gj = jnp.asarray(G)
+    hj = jnp.asarray(w.reshape(-1, order="F"))
+    A0 = jnp.zeros((0, n), jnp.float64)
+    b0 = jnp.zeros((0,), jnp.float64)
+
+    t0 = time.time()
+    out = core(c, Gj, hj, A0, b0)
+    jax.block_until_ready(out["status"])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = core(c, Gj, hj, A0, b0)
+    jax.block_until_ready(out["status"])
+    dt = time.time() - t0
+    iters = int(out["iterations"])
+    return dict(status=int(out["status"]), iterations=iters,
+                iter_ms=round(dt / max(iters, 1) * 1e3, 1),
+                gap=float(out["gap"]), pres=float(out["pres"]),
+                dres=float(out["dres"]),
+                config=f"mcsdp m={m}", compile_s=round(compile_s, 1))
+
+
+def bench_large_kkt(n=10240):
     """BASELINE primary metric: KKT assembly+factorize+solve wall time
-    for one large dense QP KKT system (S = P + G' D G; chol; solve)."""
+    for one large dense QP KKT system (S = P + G' D G; chol; solve) at
+    n=10k."""
     import jax
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
@@ -145,58 +303,6 @@ def bench_large_kkt(n=8192):
     for r in range(reps):
         float(fs(r + 1))               # float() forces a real sync
     return (time.time() - t0) / reps
-
-
-def bench_f64_mixed(nb=256, n=256):
-    """Accuracy mode: f64 residuals + f32 factorization (refinement=1)
-    — full 1e-7-class KKT accuracy on TPU.  Returns (iters_per_s,
-    solved, max_pres, max_dres)."""
-    import jax
-    import jax.numpy as jnp
-    jax.config.update("jax_enable_x64", True)
-    from cvxopt_tpu.cones import ConeDims
-    from cvxopt_tpu.coneqp import make_coneqp
-
-    dims = ConeDims(l=2 * n)
-    core = make_coneqp(dims, kktsolver="chol2_inv", maxiters=50,
-                       abstol=1e-7, reltol=1e-7, feastol=1e-7,
-                       refinement=1, factor_dtype="float32")
-    I = jnp.eye(n, dtype=jnp.float64)
-    G1 = jnp.concatenate([-I, I], axis=0)
-    h1 = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
-    A1 = jnp.ones((1, n), jnp.float64)
-    b1 = jnp.ones((1,), jnp.float64)
-
-    @jax.jit
-    def run(seed):
-        keys = jax.random.split(jax.random.PRNGKey(seed), nb)
-
-        def gen(k):
-            kF, kq = jax.random.split(k)
-            F = jax.random.normal(kF, (n, n // 4), jnp.float64) \
-                / np.sqrt(n)
-            return (F @ F.T + 0.1 * I,
-                    -jax.random.uniform(kq, (n,), jnp.float64, 0., .1))
-
-        P, q = jax.vmap(gen)(keys)
-        out = jax.vmap(lambda Pk, qk: core(Pk, qk, G1, h1, A1, b1))(
-            P, q)
-        return (out["status"], out["iterations"],
-                jnp.max(out["pres"]), jnp.max(out["dres"]))
-
-    o = run(0)
-    np.asarray(o[0])
-    t0 = time.time()
-    reps, ti, solved = 2, 0, 0
-    for r in range(reps):
-        o = run(r + 1)
-        st = np.asarray(o[0])
-        solved += int((st == 0).sum())
-        ti += int(np.asarray(o[1]).sum())
-    dt = (time.time() - t0) / reps
-    return dict(iters_per_s=round(ti / reps / dt, 1),
-                solved=f"{solved}/{nb * reps}",
-                max_pres=float(o[2]), max_dres=float(o[3]))
 
 
 def bench_cpu_baseline(n, tol, k=3, maxiters=50):
@@ -225,44 +331,70 @@ def main():
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    n = int(os.environ.get("BENCH_N", 256))
-    nb = int(os.environ.get("BENCH_B", 1024))
+    jax.config.update("jax_enable_x64", True)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        # f32 on TPU for now (f64 is emulated; mixed-precision
-        # refinement is the planned fp64-accuracy path)
-        dtype, tol = np.float32, 1e-4
-    else:
-        jax.config.update("jax_enable_x64", True)
-        dtype, tol = np.float64, 1e-7
+    n = int(os.environ.get("BENCH_N", 256))
+    nb = int(os.environ.get("BENCH_B", 1024 if on_tpu else 8))
 
-    tpu = bench_tpu(nb, n, dtype, tol)
+    main_res = bench_cascade(nb, n)
+
+    f32 = None
+    if on_tpu and os.environ.get("BENCH_F32", "1") != "0":
+        try:
+            f32 = bench_f32(nb, n)
+        except Exception as e:                       # pragma: no cover
+            f32 = {"error": repr(e)[:200]}
+
     large_ms = None
     if os.environ.get("BENCH_LARGE", "1") != "0":
-        large_ms = round(bench_large_kkt() * 1e3, 1)
-    f64m = None
-    if on_tpu and os.environ.get("BENCH_F64", "1") != "0":
-        f64m = bench_f64_mixed()
-    base = bench_cpu_baseline(n, tol if not on_tpu else 1e-7)
+        try:
+            large_ms = round(bench_large_kkt(
+                10240 if on_tpu else 2048) * 1e3, 1)
+        except Exception as e:                       # pragma: no cover
+            large_ms = repr(e)[:200]
+
+    socp = None
+    if os.environ.get("BENCH_SOCP", "1") != "0":
+        try:
+            socp = bench_socp(nb=min(nb, 256) if on_tpu else 4,
+                              n=64 if on_tpu else 16,
+                              nq=100 if on_tpu else 10)
+        except Exception as e:                       # pragma: no cover
+            socp = {"error": repr(e)[:200]}
+
+    sdp = None
+    if os.environ.get("BENCH_SDP", "1") != "0":
+        try:
+            sdp = bench_sdp(m=200 if on_tpu else 25)
+        except Exception as e:                       # pragma: no cover
+            sdp = {"error": repr(e)[:200]}
+
+    base = bench_cpu_baseline(n, 1e-7)
 
     result = {
-        "metric": "batched_qp_ipm_iters_per_s",
-        "value": round(tpu["iters_per_s"], 2),
+        "metric": "batched_qp_ipm_iters_per_s_at_1e-7",
+        "value": round(main_res["iters_per_s"], 2),
         "unit": "iters/s",
-        "vs_baseline": round(tpu["iters_per_s"] / base["iters_per_s"],
-                             2),
-        "config": f"{nb}x n={n} scenario QPs (l=2n box+budget)",
-        "solved": f"{tpu['solved']}/{tpu['nb']}",
-        "max_relgap": tpu["max_relgap"],
-        "batch_time_s": round(tpu["time_s"], 3),
-        "compile_s": round(tpu["compile_s"], 1),
+        "vs_baseline": round(
+            main_res["iters_per_s"] / base["iters_per_s"], 2),
+        "config": f"{nb}x n={n} scenario QPs (l=2n box+budget), "
+                  f"abstol=reltol=feastol=1e-7",
+        "solved": main_res["solved"],
+        "max_gap": main_res["max_gap"],
+        "max_relgap": main_res["max_relgap"],
+        "max_pres": main_res["max_pres"],
+        "max_dres": main_res["max_dres"],
+        "rescue_iters": main_res["rescue_iters"],
+        "phase1_frac": main_res["phase1_frac"],
+        "batch_time_s": round(main_res["time_s"], 3),
+        "compile_s": round(main_res["compile_s"], 1),
         "baseline_iters_per_s": round(base["iters_per_s"], 2),
-        "kkt_factor_solve_ms_n8192": large_ms,
-        "f64_mixed_mode": f64m,
-        "device": tpu["device"],
-        "dtype": np.dtype(dtype).name,
+        "f32_mode": f32,
+        "kkt_factor_solve_ms_n10240": large_ms,
+        "socp": socp,
+        "sdp": sdp,
+        "device": main_res["device"],
     }
     print(json.dumps(result))
 

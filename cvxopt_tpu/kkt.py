@@ -102,6 +102,63 @@ def kkt_lu(G, dims: ConeDims, A, mnl: int = 0, kktreg: Optional[float] = None):
     return factor
 
 
+def kkt_ldl2(G, dims: ConeDims, A, mnl: int = 0,
+             kktreg: Optional[float] = None, factor_dtype=None):
+    """Condensed 2x2 factorization (reference kkt_ldl2, misc.py:1128):
+    eliminate uz from the 3x3 system to get
+
+        [ H + GG' W^{-1} W^{-T} GG   A' ] [ ux ]   [ bx + GG'W^{-1}W^{-T}bz ]
+        [ A                          0  ] [ uy ] = [ by                     ]
+
+    of order n+p (much smaller than the full 3x3 when the cone
+    dimension is large), factored with LU partial pivoting (XLA's
+    batched replacement for Bunch-Kaufman LDL; see kkt_lu).  Unlike
+    kkt_chol2 this does not require S to be positive definite —
+    only the saddle system to be nonsingular.  Supports ``kktreg``
+    static regularization (+reg/-reg like misc.py:1096-1098).
+    """
+    p, n = A.shape
+
+    def factor(W, H=None, Df=None):
+        GG = _stack_gg(G, Df)
+        io_dtype = GG.dtype
+        if factor_dtype is not None:
+            Wf = jax.tree_util.tree_map(
+                lambda u: u.astype(factor_dtype), W)
+            Gs = scale_rows(GG.astype(factor_dtype), Wf, dims,
+                            trans="T", inverse="I")
+        else:
+            Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
+        S = Gs.T @ Gs
+        if H is not None:
+            S = S + H.astype(S.dtype)
+        K = jnp.zeros((n + p, n + p), dtype=S.dtype)
+        K = K.at[:n, :n].set(S)
+        K = K.at[n:, :n].set(A.astype(S.dtype))
+        K = K.at[:n, n:].set(A.T.astype(S.dtype))
+        if kktreg is not None:
+            d1 = jnp.arange(n)
+            K = K.at[d1, d1].add(kktreg)
+            d2 = jnp.arange(n, n + p)
+            K = K.at[d2, d2].add(-kktreg)
+        lu, piv = jsl.lu_factor(K)
+
+        def solve(bx, by, bz):
+            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
+                       W, dims, inverse="I")
+            r = (bx + GG.T @ zs).astype(S.dtype)
+            u = jnp.concatenate([r, by.astype(S.dtype)])
+            u = jsl.lu_solve((lu, piv), u)
+            ux = u[:n].astype(io_dtype)
+            uy = u[n:].astype(io_dtype)
+            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            return ux, uy, Wuz
+
+        return solve
+
+    return factor
+
+
 def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
              explicit_inverse: bool = False, factor_dtype=None):
     """QR of A' to eliminate equality constraints, then dense Cholesky
@@ -157,18 +214,19 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
             K = K * deq[:, None] * deq[None, :]
         else:
             deq = None
-        L = jnp.linalg.cholesky(K)
 
         if explicit_inverse:
-            Linv = jsl.solve_triangular(
-                L, jnp.eye(n - p, dtype=L.dtype), lower=True)
+            # block-recursive SPD inverse (see kkt_chol2 / blockinv.py)
+            from cvxopt_tpu.ops.blockinv import spd_inverse
+            Kinv_mat = spd_inverse(K)
             if deq is not None:
-                Linv = Linv * deq[None, :]
-            Kinv_mat = Linv.T @ Linv
+                Kinv_mat = deq[:, None] * Kinv_mat * deq[None, :]
 
             def Kinv(v):
                 return Kinv_mat @ v
         else:
+            L = jnp.linalg.cholesky(K)
+
             def Kinv(v):
                 if deq is not None:
                     v = deq * v if v.ndim == 1 else deq[:, None] * v
@@ -362,18 +420,22 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
             S = S * deq[:, None] * deq[None, :]
         else:
             deq = None
-        Ls = jnp.linalg.cholesky(S)
 
         if explicit_inverse:
-            Linv = jsl.solve_triangular(
-                Ls, jnp.eye(n, dtype=Ls.dtype), lower=True)
+            # block-recursive SPD inverse: batched-matmul-shaped on
+            # TPU (the XLA chol + n-RHS triangular solve pair is
+            # sequential-op-bound; see ops/blockinv.py).  NaN on
+            # non-PD input, like cholesky.
+            from cvxopt_tpu.ops.blockinv import spd_inverse
+            Sinv_mat = spd_inverse(S)
             if deq is not None:
-                Linv = Linv * deq[None, :]
-            Sinv_mat = Linv.T @ Linv
+                Sinv_mat = deq[:, None] * Sinv_mat * deq[None, :]
 
             def Sinv(v):
                 return Sinv_mat @ v
         else:
+            Ls = jnp.linalg.cholesky(S)
+
             def Sinv(v):
                 if deq is not None:
                     v = deq * v if v.ndim == 1 else deq[:, None] * v
@@ -557,11 +619,15 @@ def get_kktsolver(name: str, G, dims: ConeDims, A, mnl: int = 0,
                   kktreg: Optional[float] = None, factor_dtype=None):
     """Map reference kktsolver names (coneprog.py:463) to strategies.
 
-    'ldl'/'ldl2' map to the full-system dense factorization `kkt_lu`;
-    'qr', 'chol', 'chol2' map to their direct equivalents.
+    'ldl' maps to the full-3x3 dense factorization `kkt_lu`; 'ldl2' to
+    the condensed 2x2 `kkt_ldl2`; 'qr', 'chol', 'chol2' to their
+    direct equivalents.
     """
-    if name in ("ldl", "ldl2"):
+    if name == "ldl":
         return kkt_lu(G, dims, A, mnl=mnl, kktreg=kktreg)
+    if name == "ldl2":
+        return kkt_ldl2(G, dims, A, mnl=mnl, kktreg=kktreg,
+                        factor_dtype=factor_dtype)
     if name == "qr":
         return kkt_qr(G, dims, A, mnl=mnl, factor_dtype=factor_dtype)
     if name == "qr_inv":

@@ -1,0 +1,69 @@
+"""Block-recursive SPD inverse — the TPU-shaped replacement for
+cholesky + triangular-inverse in the explicit-inverse KKT factors.
+
+Motivation (measured, TPU v5e, B=1024, n=256, f32): XLA's batched
+`cholesky` runs at ~0.12 TFLOP/s (47 ms) and the n-RHS triangular
+solve adds ~22 ms — both lower to long chains of small sequential
+ops that leave the MXU idle.  The IPM's explicit-inverse path
+(`kkt_chol2(explicit_inverse=True)`, the TPU fast path) only needs
+S^{-1}; computing it by recursive 2x2 block inversion
+
+    S = [[A, B'], [B, C]]
+    S^{-1} = [[Ai + Y' Ci Y,  -Y' Ci],      Ai = inv(A) (recurse)
+              [-Ci Y,          Ci    ]]      Y  = B Ai
+                                             Ci = inv(C - Y B')  (recurse)
+
+turns the whole factorization into ~4 batched matmuls per recursion
+level (MXU-bound) plus one small base-case Cholesky, ~log2(n/base)
+levels deep.  This is the classical Strassen-style inversion scheme;
+its backward error is O(eps * kappa(S)) — the same class as forming
+Linv' Linv — and the callers already run it on Jacobi-equilibrated
+matrices under f64 iterative refinement (kkt.py).
+
+Non-PD detection: the base case uses `jnp.linalg.cholesky`, which
+returns NaN rows for a non-PD block; S is PD iff every block pivot in
+the recursive Schur-complement chain is PD, so a NaN always appears
+and propagates through the assembling matmuls — preserving the
+solvers' NaN-based singularity handling (conelp.py status codes).
+
+Replaces the reference's LAPACK potrf+potri/trtri pair
+(/root/reference/src/C/lapack.c) on the hot path
+(misc.py kkt_chol2:1352).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+BASE = 32
+
+
+def spd_inverse(S, base: int = BASE):
+    """Inverse of a (batched) symmetric positive-definite matrix.
+
+    S: (..., n, n).  Returns (..., n, n) with NaN on non-PD input.
+    All heavy work is batched matmuls; one `jnp.linalg.cholesky` +
+    triangular solve at the (<= base) base case.
+    """
+    n = S.shape[-1]
+    if n <= base:
+        L = jnp.linalg.cholesky(S)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)
+        Li = jsl.solve_triangular(L, eye, lower=True)
+        return jnp.swapaxes(Li, -1, -2) @ Li
+    k = n // 2
+    A = S[..., :k, :k]
+    Bt = S[..., :k, k:]                      # = B'
+    C = S[..., k:, k:]
+    Ai = spd_inverse(A, base)
+    Y = jnp.swapaxes(Bt, -1, -2) @ Ai        # B Ai      (n-k, k)
+    Sc = C - Y @ Bt                          # Schur complement
+    Ci = spd_inverse(Sc, base)
+    X12 = -jnp.swapaxes(Y, -1, -2) @ Ci      # (k, n-k)
+    X11 = Ai - X12 @ Y
+    top = jnp.concatenate([X11, X12], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(X12, -1, -2), Ci], axis=-1)
+    X = jnp.concatenate([top, bot], axis=-2)
+    # one symmetrization pass cleans the rounding asymmetry of X11
+    return 0.5 * (X + jnp.swapaxes(X, -1, -2))

@@ -25,12 +25,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from cvxopt_tpu.ops.banded import (          # noqa: F401
+    pbtrf, pbtrs, pbsv, pttrf, pttrs, ptsv,
+    gtsv, gttrf, gttrs, tbtrs, gbsv, gbtrf, gbtrs,
+)
+
 __all__ = [
     "potrf", "potrs", "posv", "potri", "getrf", "getrs", "gesv",
     "getri", "sytrf", "sytrs", "sysv", "trtrs", "trtri", "geqrf",
     "orgqr", "ormqr", "gels", "gelqf", "geqp3", "syev", "syevd",
     "syevr", "syevx", "heev", "heevd", "sygv", "hegv", "gesvd",
     "gesdd", "gees", "gges", "lacpy",
+    # banded / tridiagonal (ops/banded.py)
+    "pbtrf", "pbtrs", "pbsv", "pttrf", "pttrs", "ptsv",
+    "gtsv", "gttrf", "gttrs", "tbtrs", "gbsv", "gbtrf", "gbtrs",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Banded/tridiagonal LAPACK subset (ops/banded.py) — golden tests vs
+scipy (reference: /root/reference/src/C/lapack.c:7341-7400 gb*/gt*/
+pb*/pt*/tbtrs)."""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import jax.numpy as jnp
+from cvxopt_tpu.ops import banded
+
+
+def _spd_band(n, kd, seed=0):
+    rng = np.random.default_rng(seed)
+    AB = np.zeros((kd + 1, n))
+    AB[0] = rng.uniform(2.0 + kd, 3.0 + kd, n)
+    for j in range(1, kd + 1):
+        AB[j, :n - j] = rng.uniform(-1, 1, n - j)
+    return AB
+
+
+def test_pbtrf_pbtrs_vs_scipy():
+    for (n, kd) in [(12, 1), (20, 3), (33, 5)]:
+        AB = _spd_band(n, kd, seed=n)
+        B = np.random.default_rng(1).standard_normal((n, 2))
+        LB = banded.pbtrf(jnp.asarray(AB))
+        x = banded.pbtrs(LB, jnp.asarray(B))
+        xs = sla.solveh_banded(AB, B, lower=True)
+        np.testing.assert_allclose(np.asarray(x), xs, atol=1e-9)
+        # factor matches scipy's cholesky_banded
+        cb = sla.cholesky_banded(AB, lower=True)
+        np.testing.assert_allclose(np.asarray(LB), cb, atol=1e-9)
+
+
+def test_pbtrf_non_pd_nan():
+    AB = _spd_band(10, 2, seed=3)
+    AB[0, 5] = -1.0
+    LB = banded.pbtrf(jnp.asarray(AB))
+    assert np.isnan(np.asarray(LB)).any()
+
+
+def test_pt_tridiag_vs_scipy():
+    n = 25
+    rng = np.random.default_rng(2)
+    d = rng.uniform(2, 3, n)
+    e = rng.uniform(-1, 1, n - 1)
+    B = rng.standard_normal((n, 3))
+    df, ef = banded.pttrf(jnp.asarray(d), jnp.asarray(e))
+    x = banded.pttrs(df, ef, jnp.asarray(B))
+    A = np.diag(d) + np.diag(e, -1) + np.diag(e, 1)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, B),
+                               atol=1e-9)
+
+
+def test_gtsv_vs_dense_with_pivoting():
+    n = 30
+    rng = np.random.default_rng(4)
+    # make rows where pivoting matters: small diagonal entries
+    d = rng.standard_normal(n) * 0.01
+    dl = rng.standard_normal(n - 1) + 2.0
+    du = rng.standard_normal(n - 1) + 2.0
+    B = rng.standard_normal((n, 2))
+    A = np.diag(d) + np.diag(dl, -1) + np.diag(du, 1)
+    x = banded.gtsv(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
+                    jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, B),
+                               atol=1e-8)
+    # transpose solve via gttrf/gttrs
+    fac = banded.gttrf(jnp.asarray(dl), jnp.asarray(d),
+                       jnp.asarray(du))
+    xt = banded.gttrs(fac, jnp.asarray(B), trans="T")
+    np.testing.assert_allclose(np.asarray(xt), np.linalg.solve(A.T, B),
+                               atol=1e-8)
+
+
+def test_tbtrs():
+    n, kd = 15, 3
+    rng = np.random.default_rng(5)
+    AB = np.zeros((kd + 1, n))
+    AB[0] = rng.uniform(1, 2, n)
+    for j in range(1, kd + 1):
+        AB[j, :n - j] = rng.uniform(-1, 1, n - j)
+    L = np.zeros((n, n))
+    for j in range(kd + 1):
+        L += np.diag(AB[j, :n - j], -j)
+    b = rng.standard_normal(n)
+    x = banded.tbtrs(jnp.asarray(AB), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x),
+                               sla.solve_triangular(L, b, lower=True),
+                               atol=1e-9)
+    xt = banded.tbtrs(jnp.asarray(AB), jnp.asarray(b), trans="T")
+    np.testing.assert_allclose(
+        np.asarray(xt), sla.solve_triangular(L.T, b, lower=False),
+        atol=1e-9)
+
+
+def test_gbsv_vs_scipy():
+    n, kl, ku = 18, 2, 1
+    rng = np.random.default_rng(6)
+    AB = rng.standard_normal((kl + ku + 1, n))
+    AB[ku] += 4.0   # diagonal dominance
+    B = rng.standard_normal(n)
+    _, x = banded.gbsv(jnp.asarray(AB), kl, ku, jnp.asarray(B))
+    xs = sla.solve_banded((kl, ku), AB, B)
+    np.testing.assert_allclose(np.asarray(x), xs, atol=1e-9)
+
+
+def test_exported_from_lapack():
+    from cvxopt_tpu.ops import lapack
+    for name in ("pbtrf", "pttrf", "gtsv", "tbtrs", "gbsv"):
+        assert hasattr(lapack, name)

@@ -1,0 +1,55 @@
+"""Block-recursive SPD inverse (ops/blockinv.py) — the explicit-inverse
+KKT factor's TPU-shaped replacement for potrf+potri
+(/root/reference/src/C/lapack.c)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvxopt_tpu.ops.blockinv import spd_inverse
+
+
+def _spd(n, b=None, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    shape = (b, n, n) if b else (n, n)
+    F = rng.standard_normal(shape) / np.sqrt(n)
+    S = F @ np.swapaxes(F, -1, -2) + np.eye(n)
+    return jnp.asarray(S, dtype=dtype)
+
+
+def test_matches_inv_various_sizes():
+    for n in (8, 32, 48, 96, 256):
+        S = _spd(n, seed=n)
+        X = spd_inverse(S)
+        np.testing.assert_allclose(np.asarray(X @ S),
+                                   np.eye(n), atol=1e-8)
+        # symmetric output
+        np.testing.assert_allclose(np.asarray(X), np.asarray(X).T,
+                                   atol=1e-12)
+
+
+def test_batched():
+    S = _spd(64, b=5, seed=3)
+    X = jax.vmap(spd_inverse)(S)
+    np.testing.assert_allclose(
+        np.asarray(X @ S), np.broadcast_to(np.eye(64), (5, 64, 64)),
+        atol=1e-8)
+
+
+def test_non_pd_gives_nan():
+    S = np.eye(64)
+    S[40, 40] = -1.0
+    X = spd_inverse(jnp.asarray(S))
+    assert np.isnan(np.asarray(X)).any()
+
+
+def test_ill_conditioned_f32_with_equilibration_class():
+    # kappa ~ 1e5 in f32: error should stay ~eps32*kappa
+    rng = np.random.default_rng(1)
+    n = 128
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.logspace(0, 5, n)
+    S = (Q * d) @ Q.T
+    X = spd_inverse(jnp.asarray(S, jnp.float32))
+    err = np.abs(np.asarray(X, np.float64) @ S - np.eye(n)).max()
+    assert err < 1e5 * 1.2e-7 * 50, err

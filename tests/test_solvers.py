@@ -409,3 +409,46 @@ def test_adaptive_mixed_precision():
     assert s2["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(s2["x"]), np.asarray(s2f["x"]),
                                atol=1e-6)
+
+
+def test_kkt_ldl2_condensed():
+    """'ldl2' is the condensed 2x2 strategy (reference misc.py:1128),
+    distinct from 'ldl': same solutions on an equality-constrained
+    cone QP with l and q blocks."""
+    import numpy as np
+    from cvxopt_tpu import solvers
+    from cvxopt_tpu.cones import ConeDims
+
+    rng = np.random.default_rng(11)
+    n = 12
+    F = rng.standard_normal((n, 4))
+    P = F @ F.T + np.eye(n)
+    q = rng.standard_normal(n)
+    # l=6 rows + one SOC(4): h strictly feasible at x=0
+    G = 0.4 * rng.standard_normal((10, n))
+    h = np.concatenate([rng.uniform(0.5, 1.0, 6), [2.0],
+                        0.1 * rng.standard_normal(3)])
+    A = rng.standard_normal((2, n))
+    b = A @ np.zeros(n)
+    dims = {"l": 6, "q": [4], "s": []}
+    ref = solvers.coneqp(P, q, G, h, dims=dims, A=A, b=b,
+                         kktsolver="ldl")
+    sol = solvers.coneqp(P, q, G, h, dims=dims, A=A, b=b,
+                         kktsolver="ldl2")
+    assert ref["status"] == "optimal"
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               np.asarray(ref["x"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sol["y"]),
+                               np.asarray(ref["y"]), atol=1e-5)
+
+    # conelp path too (zero H block)
+    c = rng.standard_normal(n) * 0.1
+    ref2 = solvers.conelp(c, G, h, dims=dims, A=A, b=b,
+                          kktsolver="ldl")
+    sol2 = solvers.conelp(c, G, h, dims=dims, A=A, b=b,
+                          kktsolver="ldl2")
+    assert ref2["status"] == sol2["status"]
+    if ref2["status"] == "optimal":
+        np.testing.assert_allclose(np.asarray(sol2["x"]),
+                                   np.asarray(ref2["x"]), atol=1e-5)
