@@ -33,7 +33,7 @@ from cvxopt_tpu.linops import LinearOperator, aslinearoperator
 # reference top-level API (src/python/__init__.py:86-291)
 from cvxopt_tpu.base import (
     matrix, spmatrix, sparse, spdiag, exp, log, sqrt, sin, cos, mul,
-    div, emin, emax,
+    div, emin, emax, trans, ctrans, real, imag,
 )
 from cvxopt_tpu.utils.rng import normal, uniform, setseed, getseed
 from cvxopt_tpu.utils import printing
@@ -44,7 +44,8 @@ __all__ = [
     "ConeDims", "cones", "scaling", "kkt", "solvers", "modeling",
     "mpsio", "base", "LinearOperator", "aslinearoperator",
     "matrix", "spmatrix", "sparse", "spdiag", "exp", "log", "sqrt",
-    "sin", "cos", "mul", "div", "emin", "emax",
+    "sin", "cos", "mul", "div", "emin", "emax", "trans", "ctrans",
+    "real", "imag",
     "normal", "uniform", "setseed", "getseed", "printing",
     "__version__",
 ]

@@ -27,7 +27,9 @@ from jax.experimental import sparse as jxs
 def matrix(data, size=None, tc=None):
     """cvxopt.matrix-compatible constructor (dense.c:514-603): nested
     sequences are COLUMNS; flat data fills column-major; scalars with a
-    size broadcast."""
+    size broadcast.  Typecodes 'i'/'d'/'z' map to int32/float64/
+    complex128; complex input data is PRESERVED (dense.c complex
+    constructors, dense.c:514-603) rather than coerced to float."""
     dtype = {None: None, "d": jnp.float64, "i": jnp.int32,
              "z": jnp.complex128}[tc]
     if isinstance(data, (list, tuple)) and data and \
@@ -36,13 +38,17 @@ def matrix(data, size=None, tc=None):
         # block (2-D), concatenated horizontally — cvxopt semantics
         blocks = []
         for c in data:
-            a = np.asarray(c, dtype=float)
+            a = np.asarray(c)
+            if not np.iscomplexobj(a):
+                a = a.astype(float)
             blocks.append(a.reshape(-1, 1) if a.ndim < 2 else a)
         X = np.concatenate(blocks, axis=1)
     elif np.isscalar(data):
         if size is None:
             size = (1, 1)
-        X = np.full(size, data, dtype=float)
+        X = np.full(size, data,
+                    dtype=(complex if isinstance(data, complex)
+                           else float))
     else:
         a = np.asarray(data)
         if size is not None:
@@ -54,11 +60,16 @@ def matrix(data, size=None, tc=None):
 
 
 def spmatrix(V, I, J, size=None, tc=None):
-    """Triplet sparse constructor (sparse.c:2640) -> BCOO."""
+    """Triplet sparse constructor (sparse.c:2640) -> BCOO.  Complex
+    values are preserved; tc='z' forces complex128."""
     I = np.asarray(I, dtype=np.int32).reshape(-1)
     J = np.asarray(J, dtype=np.int32).reshape(-1)
-    V = np.broadcast_to(np.asarray(V, dtype=float).reshape(-1),
-                        I.shape)
+    Va = np.asarray(V)
+    if tc == "z":
+        Va = Va.astype(np.complex128)
+    elif not np.iscomplexobj(Va):
+        Va = Va.astype(float)
+    V = np.broadcast_to(Va.reshape(-1), I.shape)
     if size is None:
         size = (int(I.max()) + 1 if I.size else 0,
                 int(J.max()) + 1 if J.size else 0)
@@ -90,7 +101,8 @@ def spdiag(values):
             np.asarray(values[0]).ndim == 2:
         mats = [np.asarray(v) for v in values]
         n = sum(m.shape[0] for m in mats)
-        D = np.zeros((n, n))
+        dt = complex if any(np.iscomplexobj(m) for m in mats) else float
+        D = np.zeros((n, n), dtype=dt)
         off = 0
         for m in mats:
             k = m.shape[0]
@@ -104,8 +116,31 @@ def spdiag(values):
 def _dense2(B):
     if hasattr(B, "todense"):
         B = B.todense()
-    B = jnp.asarray(B, dtype=float)
+    B = jnp.asarray(B)
+    if not jnp.iscomplexobj(B):
+        B = B.astype(float)
     return B.reshape(-1, 1) if B.ndim == 1 else B
+
+
+def trans(x):
+    """Matrix transpose (dense.c:1039-1093 .trans()/.T)."""
+    x = _as(x)
+    return jnp.swapaxes(x, -1, -2)
+
+
+def ctrans(x):
+    """Conjugate (Hermitian) transpose (dense.c:1404-1419
+    .ctrans()/.H)."""
+    x = _as(x)
+    return jnp.conjugate(jnp.swapaxes(x, -1, -2))
+
+
+def real(x):
+    return jnp.real(_as(x))
+
+
+def imag(x):
+    return jnp.imag(_as(x))
 
 
 # ---- elementwise math (base.c: exp/log/sqrt/sin/cos, emul/ediv,

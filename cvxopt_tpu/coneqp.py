@@ -528,42 +528,17 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
         return finalize_qp_result(raw)
 
     # ---- advanced path: custom kkt / operators / warm starts ---------
-    if P_is_op:
-        Pop = P if isinstance(P, LinearOperator) else None
-        Pf = Pop.mv if Pop else (lambda x: P(x, "N"))
+    G_is_op = isinstance(G, LinearOperator) or callable(G)
+    A_is_op = isinstance(A, LinearOperator) or callable(A)
+    if A_is_op:
+        pdim = A.shape[0] if isinstance(A, LinearOperator) \
+            else b.shape[0]
     else:
-        Pf = lambda x: P @ x
-    if isinstance(G, LinearOperator):
-        Gf, GTf = G.mv, G.rmv
-    elif callable(G):
-        Gf, GTf = (lambda x: G(x, "N")), (lambda z: G(z, "T"))
-    else:
-        Gf, GTf = (lambda x: G @ x), (lambda z: G.T @ z)
-    if isinstance(A, LinearOperator):
-        Af, ATf, pdim = A.mv, A.rmv, A.shape[0]
-    elif callable(A):
-        Af, ATf, pdim = (lambda x: A(x, "N")), (lambda y_: A(y_, "T")), \
-            b.shape[0]
-    else:
-        Af, ATf, pdim = (lambda x: A @ x), (lambda y_: A.T @ y_), \
-            A.shape[0]
-
-    factor_W64 = None
+        pdim = A.shape[0]
     if custom_kkt:
-        factor_W = kktsolver
+        fkey = kktsolver
     else:
-        kname, _ = _resolve_qp_opts(dims, kktsolver, refinement)
-        fd = factor_dtype
-        if fd == "rescue":
-            f64 = kktmod.get_kktsolver(
-                kname, G, dims, A, kktreg=opts.get("kktreg", None),
-                factor_dtype=None)
-            factor_W64 = lambda W: f64(W, P)
-            fd = "float32"
-        factor = kktmod.get_kktsolver(
-            kname, G, dims, A, kktreg=opts.get("kktreg", None),
-            factor_dtype=fd)
-        factor_W = lambda W: factor(W, P)
+        fkey, _ = _resolve_qp_opts(dims, kktsolver, refinement)
     _, refinement = _resolve_qp_opts(dims, "default", refinement)
 
     iv = None
@@ -578,7 +553,65 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
                         raise ValueError(f"initial {k} is not positive")
                 iv[k] = v
 
-    def run():
+    # cached advanced runner (see conelp._adv_runner): structure +
+    # user-callable identities key the jit; matrices stay dynamic
+    runner = _adv_qp_runner(
+        dims, n, pdim, fkey, factor_dtype, opts.get("kktreg", None),
+        P if P_is_op else None,
+        G if G_is_op else None,
+        A if A_is_op else None,
+        maxiters, abstol, reltol, feastol, refinement, correction,
+        show_progress, tuple(sorted(iv.keys())) if iv else None)
+    raw = runner(None if P_is_op else P, q,
+                 None if G_is_op else G, h,
+                 None if A_is_op else A, b, iv)
+    return finalize_qp_result(raw)
+
+
+@functools.lru_cache(maxsize=64)
+def _adv_qp_runner(dims, n, pdim, fkey, factor_dtype, kktreg,
+                   Pop, Gop, Aop, maxiters, abstol, reltol, feastol,
+                   refinement, correction, show_progress, iv_keys):
+    """jit-cached advanced-path coneqp core (cf. conelp._adv_runner)."""
+    custom_kkt = callable(fkey)
+
+    def run(Pm, q, Gm, h, Am, b, iv):
+        dtype = q.dtype
+        if Pop is None:
+            Pf = lambda x: Pm @ x
+        elif isinstance(Pop, LinearOperator):
+            Pf = Pop.mv
+        else:
+            Pf = lambda x: Pop(x, "N")
+        if Gop is None:
+            Gf, GTf = (lambda x: Gm @ x), (lambda z: Gm.T @ z)
+        elif isinstance(Gop, LinearOperator):
+            Gf, GTf = Gop.mv, Gop.rmv
+        else:
+            Gf = lambda x: Gop(x, "N")
+            GTf = lambda z: Gop(z, "T")
+        if Aop is None:
+            Af, ATf = (lambda x: Am @ x), (lambda y_: Am.T @ y_)
+        elif isinstance(Aop, LinearOperator):
+            Af, ATf = Aop.mv, Aop.rmv
+        else:
+            Af = lambda x: Aop(x, "N")
+            ATf = lambda y_: Aop(y_, "T")
+
+        factor_W64 = None
+        if custom_kkt:
+            factor_W = fkey
+        else:
+            fd = factor_dtype
+            if fd == "rescue":
+                f64 = kktmod.get_kktsolver(
+                    fkey, Gm, dims, Am, kktreg=kktreg,
+                    factor_dtype=None)
+                factor_W64 = lambda W: f64(W, Pm)
+                fd = "float32"
+            factor = kktmod.get_kktsolver(
+                fkey, Gm, dims, Am, kktreg=kktreg, factor_dtype=fd)
+            factor_W = lambda W: factor(W, Pm)
         return _coneqp_solve(
             dims, factor_W=factor_W, factor_W64=factor_W64,
             Pf=Pf, Gf=Gf, GTf=GTf, Af=Af,
@@ -588,8 +621,7 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
             correction=correction, show_progress=show_progress,
             initvals=iv)
 
-    raw = jax.jit(run)()
-    return finalize_qp_result(raw)
+    return jax.jit(run)
 
 
 def finalize_qp_result(raw):

