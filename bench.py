@@ -231,7 +231,7 @@ def bench_socp(nb=256, n=64, nq=100, mq=4, maxiters=50):
                 max_dres=float(o[4]), compile_s=round(compile_s, 1))
 
 
-def bench_sdp(m=200, maxiters=30):
+def bench_sdp(m=200, maxiters=40):
     """BASELINE config 4 (mcsdp pattern): min 1'x s.t. w + diag(x) >= 0
     (one (m,m) PSD block).  Reports per-iteration wall time — the 's'
     path runs batched eigh/SVD per iteration (SURVEY 'hard parts')."""
@@ -242,9 +242,12 @@ def bench_sdp(m=200, maxiters=30):
 
     n = m
     dims = ConeDims(s=(m,))
-    core = make_conelp(dims, kktsolver="qr", maxiters=maxiters,
+    # 'rescue': f32 chol2_inv phase + a robust f64 chol2 phase for
+    # whatever the f32 factor cannot finish ('s'-cone conditioning is
+    # not diagonally equilibrable; see kkt.robust_name)
+    core = make_conelp(dims, kktsolver="chol2_inv", maxiters=maxiters,
                        abstol=1e-6, reltol=1e-6, feastol=1e-6,
-                       refinement=1, factor_dtype="float32")
+                       refinement=1, factor_dtype="rescue")
 
     rng = np.random.default_rng(7)
     w = rng.standard_normal((m, m))

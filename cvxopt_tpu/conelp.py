@@ -565,7 +565,8 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
         factor64 = None
         if fd == "rescue":
             factor64 = kktmod.get_kktsolver(
-                kktsolver, G, dims, A, kktreg=kktreg, factor_dtype=None)
+                kktmod.robust_name(kktsolver), G, dims, A,
+                kktreg=kktreg, factor_dtype=None)
             fd = "float32"
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
                                       kktreg=kktreg,
@@ -605,7 +606,8 @@ def make_conelp_ws(dims: ConeDims, kktsolver: str = "default",
         factor64 = None
         if fd == "rescue":
             factor64 = kktmod.get_kktsolver(
-                kktsolver, G, dims, A, kktreg=kktreg, factor_dtype=None)
+                kktmod.robust_name(kktsolver), G, dims, A,
+                kktreg=kktreg, factor_dtype=None)
             fd = "float32"
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
                                       kktreg=kktreg, factor_dtype=fd)
@@ -833,8 +835,8 @@ def _adv_runner(dims, n_var, p, fkey, factor_dtype, kktreg,
             fd = factor_dtype
             if fd == "rescue":
                 factor64 = kktmod.get_kktsolver(
-                    fkey, Gm, dims, Am, kktreg=kktreg,
-                    factor_dtype=None)
+                    kktmod.robust_name(fkey), Gm, dims, Am,
+                    kktreg=kktreg, factor_dtype=None)
                 fd = "float32"
             factor = kktmod.get_kktsolver(
                 fkey, Gm, dims, Am, kktreg=kktreg, factor_dtype=fd)

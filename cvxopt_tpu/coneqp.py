@@ -60,37 +60,48 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
     resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
 
     # ---- initial point (coneprog.py:2044-2149) -----------------------
-    if initvals is None:
+    # the cold init is also computed when a rescue phase exists, so
+    # flagged instances restart from a TRUE cold start (restarting
+    # from warm initvals would re-enter the same warm-start pathology)
+    cold = None
+    if initvals is None or factor_W64 is not None:
         f0 = factor_W(nt.identity_scaling(dims, dtype=dtype))
-        x, y, z = f0(-q, b, h)
-        s = -z
-        nrms = cones.snrm2(s, dims)
-        ts = cones.max_step(s, dims)
-        s = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
-                      s + (1.0 + ts) * e, s)
-        nrmz = cones.snrm2(z, dims)
-        tz = cones.max_step(z, dims)
-        z = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
-                      z + (1.0 + tz) * e, z)
+        xc, yc, zc = f0(-q, b, h)
+        sc = -zc
+        nrms = cones.snrm2(sc, dims)
+        ts = cones.max_step(sc, dims)
+        sc = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
+                       sc + (1.0 + ts) * e, sc)
+        nrmz = cones.snrm2(zc, dims)
+        tz = cones.max_step(zc, dims)
+        zc = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
+                       zc + (1.0 + tz) * e, zc)
+        cold = (xc, yc, sc, zc)
+    if initvals is None:
+        x, y, s, z = cold
     else:
         x = jnp.asarray(initvals.get("x", jnp.zeros(n, dtype)), dtype)
         y = jnp.asarray(initvals.get("y", jnp.zeros(p, dtype)), dtype)
         s = jnp.asarray(initvals.get("s", e), dtype)
         z = jnp.asarray(initvals.get("z", e), dtype)
 
-    W, lmbda = nt.compute_scaling(s, z, dims)
-    gap = cones.sdot(s, z, dims)
-    nan = jnp.asarray(jnp.nan, dtype)
+    def _mkstate(x_, y_, s_, z_):
+        W_, lmbda_ = nt.compute_scaling(s_, z_, dims)
+        nan = jnp.asarray(jnp.nan, dtype)
+        return dict(
+            x=x_, y=y_, s=s_, z=z_, W=W_, lmbda=lmbda_,
+            gap=cones.sdot(s_, z_, dims),
+            iters=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(STATUS_RUNNING, jnp.int32),
+            pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
+            best_m=jnp.asarray(jnp.inf, dtype),
+            stall=jnp.asarray(0, jnp.int32),
+            max_it=jnp.asarray(maxiters, jnp.int32),
+        )
 
-    state = dict(
-        x=x, y=y, s=s, z=z, W=W, lmbda=lmbda, gap=gap,
-        iters=jnp.asarray(0, jnp.int32),
-        status=jnp.asarray(STATUS_RUNNING, jnp.int32),
-        pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
-        best_m=jnp.asarray(jnp.inf, dtype),
-        stall=jnp.asarray(0, jnp.int32),
-        max_it=jnp.asarray(maxiters, jnp.int32),
-    )
+    state = _mkstate(x, y, s, z)
+    state0 = state if cold is None or initvals is None \
+        else _mkstate(*cold)
 
     def _iteration(fW, x, y, s, z, W, lmbda, gap, rx, ry, rz):
         lmbdasq = cones.ssqr(lmbda, dims)
@@ -314,7 +325,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         for k in ("x", "y", "s", "z", "W", "lmbda", "gap"):
             st2[k] = jax.tree_util.tree_map(
                 lambda u0, u1: jnp.where(was64, u0, u1),
-                state[k], st1[k])
+                state0[k], st1[k])
         st2["status"] = jnp.where(
             was64, jnp.asarray(STATUS_RUNNING, jnp.int32),
             st1["status"])
@@ -365,8 +376,9 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
         fd = factor_dtype
         factor_W64 = None
         if fd == "rescue":
-            f64 = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                       kktreg=kktreg, factor_dtype=None)
+            f64 = kktmod.get_kktsolver(
+                kktmod.robust_name(kktsolver), G, dims, A,
+                kktreg=kktreg, factor_dtype=None)
             factor_W64 = lambda W: f64(W, P)
             fd = "float32"
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
@@ -419,10 +431,20 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
     both OOMs HBM at B=1024/n=256: each phase's temporaries are ~9 GB);
     the intermediate iterates stay on device.  Requires x64; inputs in
     f64.
+
+    Cone-awareness: with 'q'/'s' blocks the ill-conditioning of the
+    scaled Gram matrix near convergence is NOT diagonal (the SOC
+    scaling's anisotropy grows like 1/mu within a block), so Jacobi
+    equilibration cannot keep an f32 factor inside refinement's
+    convergence region (measured: f32-factor coneqp diverges on SOC
+    QPs at 1e-7).  Phase B then factors in full f64 directly — still
+    only the last few warm-started iterations — and no separate
+    rescue phase is needed.
     """
     kktsolver, refinement = _resolve_qp_opts(dims, kktsolver,
                                              refinement)
     refinement_b = max(1, refinement)
+    mixed_ok = not (dims.q or dims.s)
     f32 = jnp.float32
 
     def phase_a(P, q, G, h, A, b):
@@ -443,11 +465,18 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
         return {k: raw[k] for k in ("x", "y", "s", "z", "iterations")}
 
     def phase_bc(P, q, G, h, A, b, iv):
-        f64fac = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                      kktreg=kktreg, factor_dtype=None)
-        factor_b = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                        kktreg=kktreg,
-                                        factor_dtype="float32")
+        f64fac = kktmod.get_kktsolver(
+            kktmod.robust_name(kktsolver), G, dims, A,
+            kktreg=kktreg, factor_dtype=None)
+        if mixed_ok:
+            factor_b = kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                            kktreg=kktreg,
+                                            factor_dtype="float32")
+        else:
+            factor_b = f64fac
+        # factor_W64 is kept even when phase B is already f64: the
+        # rescue machinery then acts as a cold-restart safety net for
+        # instances the warm start cannot finish
         return _coneqp_solve(
             dims, factor_W=lambda W: factor_b(W, P),
             factor_W64=lambda W: f64fac(W, P),
@@ -605,8 +634,8 @@ def _adv_qp_runner(dims, n, pdim, fkey, factor_dtype, kktreg,
             fd = factor_dtype
             if fd == "rescue":
                 f64 = kktmod.get_kktsolver(
-                    fkey, Gm, dims, Am, kktreg=kktreg,
-                    factor_dtype=None)
+                    kktmod.robust_name(fkey), Gm, dims, Am,
+                    kktreg=kktreg, factor_dtype=None)
                 factor_W64 = lambda W: f64(W, Pm)
                 fd = "float32"
             factor = kktmod.get_kktsolver(

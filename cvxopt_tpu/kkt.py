@@ -586,6 +586,19 @@ def kkt_qr(G, dims: ConeDims, A, mnl: int = 0,
     return factor
 
 
+def robust_name(name: str) -> str:
+    """The non-explicit-inverse variant of a kktsolver name.
+
+    Explicit-inverse factors ('*_inv') have solve error ~eps*kappa(S);
+    with 'q'/'s' cones kappa(S) grows like 1/mu^2 and exceeds even
+    1/eps_f64 near convergence (measured: f64 chol2_inv diverges on
+    SOC QPs at 1e-7 where chol2 converges).  f64 rescue phases and
+    cone-aware f64 fallbacks therefore always factor with the
+    triangular-solve variants."""
+    return {"chol2_inv": "chol2", "chol_inv": "chol",
+            "qr_inv": "qr"}.get(name, name)
+
+
 def resolve_factor_dtype(factor_dtype):
     """Resolve the `options['factor_dtype']` setting.
 
