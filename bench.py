@@ -348,22 +348,30 @@ def bench_sparse(n=100_000):
                 device="cpu (structured-scaling metric)")
 
 
-def bench_cpu_baseline(n, tol, k=3, maxiters=50):
-    """Single-core reference iterations/s on identical instances."""
+def bench_cpu_baseline(n, tol, k=3, maxiters=50, repeats=2):
+    """Single-core reference iterations/s on identical instances.
+
+    Best-of-`repeats` passes: the figure is sensitive to transient
+    host load (the TPU tunnel's compile helpers run on the same
+    cores), and the baseline should reflect the reference running
+    unimpeded.  Called FIRST in main(), before any device work."""
     from cvxopt_tpu._npref import coneqp_np
     args = make_batch(k, n, dtype=np.float64)
-    t0 = time.time()
-    total = 0
-    solved = 0
-    for i in range(k):
-        P, q, G, h, A, b = (a[i] for a in args)
-        r = coneqp_np(P, q, G, h, A, b.reshape(-1), maxiters=maxiters,
-                      abstol=tol, reltol=tol, feastol=tol)
-        total += r["iterations"]
-        solved += r["status"] == "optimal"
-    dt = time.time() - t0
-    return dict(time_s=dt, total_iters=total, solved=solved,
-                iters_per_s=total / dt)
+    best = 0.0
+    total = solved = 0
+    for _ in range(repeats):
+        t0 = time.time()
+        total = solved = 0
+        for i in range(k):
+            P, q, G, h, A, b = (a[i] for a in args)
+            r = coneqp_np(P, q, G, h, A, b.reshape(-1),
+                          maxiters=maxiters,
+                          abstol=tol, reltol=tol, feastol=tol)
+            total += r["iterations"]
+            solved += r["status"] == "optimal"
+        dt = time.time() - t0
+        best = max(best, total / dt)
+    return dict(total_iters=total, solved=solved, iters_per_s=best)
 
 
 def main():
@@ -379,6 +387,10 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     n = int(os.environ.get("BENCH_N", 256))
     nb = int(os.environ.get("BENCH_B", 1024 if on_tpu else 8))
+
+    # the single-core baseline runs FIRST, before any device work
+    # contends for host CPU (see bench_cpu_baseline)
+    base = bench_cpu_baseline(n, 1e-7)
 
     main_res = bench_cascade(nb, n)
 
@@ -419,8 +431,6 @@ def main():
             sparse = bench_sparse(100_000 if on_tpu else 20_000)
         except Exception as e:                       # pragma: no cover
             sparse = {"error": repr(e)[:200]}
-
-    base = bench_cpu_baseline(n, 1e-7)
 
     result = {
         "metric": "batched_qp_ipm_iters_per_s_at_1e-7",
