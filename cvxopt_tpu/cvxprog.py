@@ -65,7 +65,8 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
              reltol: float = 1e-6, feastol: float = 1e-7,
              refinement: int = 1, kktreg: Optional[float] = None,
              max_relaxed: int = MAX_RELAXED_ITERS,
-             show_progress: bool = False, matrix_free: bool = False):
+             show_progress: bool = False, matrix_free: bool = False,
+             factor_dtype: Optional[str] = None):
     """Build the jitted cpl core: g(c, x0, G, h, A, b) -> result arrays.
 
     `dims.mnl` must equal the output length of `f`; `f` must be a pure
@@ -122,8 +123,14 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             # (cvxprog.py:518-537); the user evaluates f/Df/H itself
             factor3 = kktsolver
         else:
+            # mixed precision is OPT-IN here ('float32'): the cpl
+            # KKT matrix changes every iteration (H depends on x), so
+            # the two-phase rescue machinery of conelp/coneqp does not
+            # apply; f64 refinement still recovers accuracy on
+            # well-conditioned problems
             factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                          mnl=mnl, kktreg=kktreg)
+                                          mnl=mnl, kktreg=kktreg,
+                                          factor_dtype=factor_dtype)
             factor3 = None
 
         # initial points (cvxprog.py:556-570): s = z = e
@@ -663,6 +670,7 @@ def cpl(c, F, x0, G=None, h=None, dims=None, A=None, b=None,
         kktreg=opts.get("kktreg", None),
         show_progress=bool(opts.get("show_progress", False)),
         matrix_free=matrix_free,
+        factor_dtype=opts.get("factor_dtype", None),
     )
     raw = core(c, x0, G, h, A, b)
     return _nl_result(raw, mnl)

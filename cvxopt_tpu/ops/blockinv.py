@@ -67,3 +67,37 @@ def spd_inverse(S, base: int = BASE):
     X = jnp.concatenate([top, bot], axis=-2)
     # one symmetrization pass cleans the rounding asymmetry of X11
     return 0.5 * (X + jnp.swapaxes(X, -1, -2))
+
+
+def blocked_cholesky(S, block: int = 2560):
+    """Recursive 2x2-blocked Cholesky for LARGE single instances.
+
+    XLA's cholesky lowering is panel-sequential (~n/128 dependent
+    steps of small ops), which leaves a single n=10k factor
+    latency-bound on TPU.  The recursion
+
+        S = [[A, B'], [B, C]]
+        L = [[LA, 0], [B LA^{-T}, chol(C - (B LA^{-T})(B LA^{-T})')]]
+
+    turns all but the <= `block` base cases into one wide triangular
+    solve (n/2 right-hand sides — MXU-shaped) plus one big syrk-style
+    matmul per level.  NaN semantics come from the base-case
+    `jnp.linalg.cholesky`.  Batched over leading axes."""
+    import jax.scipy.linalg as jsl
+    n = S.shape[-1]
+    if n <= block:
+        return jnp.linalg.cholesky(S)
+    k = n // 2
+    A = S[..., :k, :k]
+    B = S[..., k:, :k]
+    C = S[..., k:, k:]
+    LA = blocked_cholesky(A, block)
+    # X = B LA^{-T}  via  LA X' = B'
+    X = jnp.swapaxes(
+        jsl.solve_triangular(LA, jnp.swapaxes(B, -1, -2), lower=True),
+        -1, -2)
+    LC = blocked_cholesky(C - X @ jnp.swapaxes(X, -1, -2), block)
+    z = jnp.zeros(S.shape[:-2] + (k, n - k), S.dtype)
+    top = jnp.concatenate([LA, z], axis=-1)
+    bot = jnp.concatenate([X, LC], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

@@ -53,3 +53,22 @@ def test_ill_conditioned_f32_with_equilibration_class():
     X = spd_inverse(jnp.asarray(S, jnp.float32))
     err = np.abs(np.asarray(X, np.float64) @ S - np.eye(n)).max()
     assert err < 1e5 * 1.2e-7 * 50, err
+
+
+def test_blocked_cholesky_matches():
+    from cvxopt_tpu.ops.blockinv import blocked_cholesky
+    for n in (64, 200, 1030):
+        S = _spd(n, seed=n + 1)
+        L = blocked_cholesky(S, block=128)
+        np.testing.assert_allclose(
+            np.asarray(L @ L.T), np.asarray(S), atol=1e-9)
+        # lower triangular
+        assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+
+
+def test_blocked_cholesky_nan_on_non_pd():
+    from cvxopt_tpu.ops.blockinv import blocked_cholesky
+    S = np.eye(300)
+    S[200, 200] = -1.0
+    L = blocked_cholesky(jnp.asarray(S), block=128)
+    assert np.isnan(np.asarray(L)).any()
