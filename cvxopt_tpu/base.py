@@ -122,6 +122,42 @@ def _dense2(B):
     return B.reshape(-1, 1) if B.ndim == 1 else B
 
 
+# ---- spmatrix accessors (sparse.c .I/.J/.V/.CCS attributes) ----------
+#
+# BCOO carries (data, indices); these helpers expose the reference's
+# triplet / compressed-column views (sparse.c:3079-3087).
+
+def sp_I(X):
+    """Row indices of the nonzeros (spmatrix.I)."""
+    return X.indices[:, 0]
+
+
+def sp_J(X):
+    """Column indices of the nonzeros (spmatrix.J)."""
+    return X.indices[:, 1]
+
+
+def sp_V(X):
+    """Nonzero values (spmatrix.V)."""
+    return X.data
+
+
+def sp_CCS(X):
+    """Compressed-column-storage triple (colptr, rowind, values) —
+    the spmatrix.CCS attribute (cvxopt.h:58-69).  Host-side."""
+    import numpy as _np
+    idx = _np.asarray(X.indices)
+    vals = _np.asarray(X.data)
+    ncols = X.shape[1]
+    order = _np.lexsort((idx[:, 0], idx[:, 1]))
+    rows = idx[order, 0]
+    cols = idx[order, 1]
+    colptr = _np.zeros(ncols + 1, dtype=_np.int64)
+    _np.add.at(colptr, cols + 1, 1)
+    colptr = _np.cumsum(colptr)
+    return colptr, rows, vals[order]
+
+
 def trans(x):
     """Matrix transpose (dense.c:1039-1093 .trans()/.T)."""
     x = _as(x)

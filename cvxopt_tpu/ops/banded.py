@@ -75,14 +75,17 @@ def _band_rows(AB):
     return jnp.where(valid, vals, 0.0)
 
 
-def pbtrf(AB):
+def pbtrf(AB, dbound: float = 0.0):
     """Banded Cholesky (lower): AB (kd+1, n) -> LB (kd+1, n) with
     LB[0] = diag(L), LB[j, i] = L[i+j, i].  NaN on non-PD pivots
-    (reference pbtrf, lapack.c)."""
+    (reference pbtrf, lapack.c).  `dbound` > 0 clamps pivots during
+    elimination (CHOLMOD's dbound semantics, cholmod.c:84-140) so
+    semi-definite matrices factor with a regularized diagonal."""
     kdp1, n = AB.shape
     kd = kdp1 - 1
     if kd == 0:
-        return jnp.sqrt(AB)
+        A0 = jnp.maximum(AB, dbound) if dbound > 0 else AB
+        return jnp.sqrt(A0)
     R = _band_rows(AB)                     # (n, kd+1)
 
     # initial window: A[0:kd+1, 0:kd+1]
@@ -97,6 +100,8 @@ def pbtrf(AB):
 
     def step(W, rnew):
         d2 = W[0, 0]
+        if dbound > 0:
+            d2 = jnp.maximum(d2, dbound)
         dinv = lax.rsqrt(d2)               # NaN for d2 < 0
         dinv = jnp.where(d2 > 0, dinv, jnp.nan)
         col = W[1:, 0] * dinv

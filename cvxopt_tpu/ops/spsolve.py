@@ -88,9 +88,30 @@ def symbolic(A, p=None, uplo="L") -> CholSymbolic:
         S = _to_scipy(A)
         Ssym = ((S + S.T) != 0)
         n = S.shape[0]
-        perm = np.asarray(p) if p is not None else rcm_order(Ssym)
-        kd = band_width_of(Ssym, perm)
-        banded = (kd + 1) * 4 < n
+        if p is not None:
+            perm = np.asarray(p)
+            kd = band_width_of(Ssym, perm)
+        else:
+            # cholmod.options['nmethods'] semantics (cholmod.c:84-140):
+            # 0/1 -> the default ordering (RCM here); >=2 -> also try
+            # the minimum-degree ordering and keep whichever gives the
+            # smaller bandwidth
+            perm = rcm_order(Ssym)
+            kd = band_width_of(Ssym, perm)
+            if int(options.get("nmethods", 0)) >= 2:
+                p2 = np.asarray(amd_order(Ssym))
+                kd2 = band_width_of(Ssym, p2)
+                if kd2 < kd:
+                    perm, kd = p2, kd2
+        # options['supernodal'] (cholmod.c): 0 = always the structured
+        # (simplicial-analogue banded) path; >=1 = automatic choice
+        if int(options.get("supernodal", 2)) == 0:
+            banded = True
+        else:
+            banded = (kd + 1) * 4 < n
+        if options.get("print", 0):
+            print(f"cvxopt_tpu.spsolve: n={n} bandwidth={kd} "
+                  f"banded={banded}")
         return CholSymbolic(n=n, perm=perm, banded=banded, kd=kd)
     A = _dense(A)
     return CholSymbolic(n=A.shape[-1], perm=None if p is None
@@ -113,7 +134,10 @@ def numeric(A, symb: CholSymbolic, uplo="L") -> CholFactor:
         mask = coo.row >= coo.col
         AB[coo.row[mask] - coo.col[mask], coo.col[mask]] = \
             coo.data[mask]
-        LB = bnd.pbtrf(jnp.asarray(AB))
+        # cholmod.options['dbound']: clamp factorization pivots
+        # (cholmod.c:84-140)
+        LB = bnd.pbtrf(jnp.asarray(AB),
+                       dbound=float(options.get("dbound", 0.0)))
         return CholFactor(L=LB, perm=symb.perm, banded=True)
     A = _dense(A)
     A = jnp.tril(A) + jnp.swapaxes(jnp.tril(A, -1), -1, -2) \

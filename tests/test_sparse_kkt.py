@@ -174,3 +174,54 @@ def test_spsolve_banded_backend():
     x3 = spsolve.linsolve(S, jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(x3), np.asarray(x),
                                atol=1e-10)
+
+
+def test_spsolve_options_semantics():
+    """cholmod.options analogues (cholmod.c:84-140): supernodal=0
+    forces the structured path, nmethods>=2 tries multiple orderings,
+    dbound clamps the factor diagonal."""
+    from cvxopt_tpu.ops import spsolve
+    rng = np.random.default_rng(9)
+    n = 40
+    d = rng.uniform(3, 4, n)
+    e = rng.uniform(-1, 1, n - 1)
+    S = sp.diags([e, d, e], [-1, 0, 1]).tocsr()
+    old = dict(spsolve.options)
+    try:
+        spsolve.options["supernodal"] = 0
+        symb = spsolve.symbolic(S)
+        assert symb.banded
+        spsolve.options["nmethods"] = 2
+        symb2 = spsolve.symbolic(S)
+        assert symb2.kd <= symb.kd
+        F = spsolve.numeric(S, symb2)
+        b = rng.standard_normal(n)
+        x = spsolve.solve(F, jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(S.toarray(), b),
+                                   atol=1e-8)
+        # dbound keeps a singular matrix factorizable (regularized)
+        S2 = S.copy().tolil()
+        S2[5, 5] = 0.0
+        S2 = S2.tocsr()
+        spsolve.options["dbound"] = 1e-8
+        F2 = spsolve.numeric(S2, spsolve.symbolic(S2))
+        assert not np.isnan(np.asarray(F2.L)).any()
+    finally:
+        spsolve.options.clear()
+        spsolve.options.update(old)
+
+
+def test_spmatrix_accessors():
+    """spmatrix .I/.J/.V/.CCS analogues (sparse.c:3079-3087)."""
+    import cvxopt_tpu as cvx
+    from cvxopt_tpu.base import sp_I, sp_J, sp_V, sp_CCS
+    X = cvx.spmatrix([1.0, 2.0, 3.0], [0, 2, 1], [1, 0, 1],
+                     size=(3, 2))
+    np.testing.assert_array_equal(np.asarray(sp_I(X)), [0, 2, 1])
+    np.testing.assert_array_equal(np.asarray(sp_J(X)), [1, 0, 1])
+    np.testing.assert_allclose(np.asarray(sp_V(X)), [1.0, 2.0, 3.0])
+    colptr, rowind, vals = sp_CCS(X)
+    np.testing.assert_array_equal(colptr, [0, 1, 3])
+    np.testing.assert_array_equal(rowind, [2, 0, 1])
+    np.testing.assert_allclose(vals, [2.0, 1.0, 3.0])
