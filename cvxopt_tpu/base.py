@@ -122,6 +122,73 @@ def _dense2(B):
     return B.reshape(-1, 1) if B.ndim == 1 else B
 
 
+# ---- mixed sparse/dense linear algebra (base.c axpy/gemv/gemm/syrk,
+#      sparse.c sp_dgemv/sp_dgemm/sp_dsyrk) -----------------------------
+#
+# The reference's cvxopt.base exposes BLAS-like entry points accepting
+# any mix of dense and sparse operands (base.c:398-489 incl. the
+# `partial=True` fixed-pattern update — whose TPU analogue is the
+# static scatter plan in ops/sparse_kkt.BandPlan).  Here sparse BCOO
+# operands flow through jax.experimental.sparse's IR-level kernels.
+
+def _maybe_bcoo(x):
+    return x if isinstance(x, jxs.BCOO) else jnp.asarray(x)
+
+
+def axpy(x, y, alpha=1.0):
+    """y + alpha*x for any dense/sparse mix (base.c axpy)."""
+    xd = x.todense() if isinstance(x, jxs.BCOO) else jnp.asarray(x)
+    yd = y.todense() if isinstance(y, jxs.BCOO) else jnp.asarray(y)
+    return yd + alpha * xd
+
+
+def gemv(A, x, trans="N", alpha=1.0, beta=0.0, y=None):
+    """alpha*A*x (+ beta*y); A dense or BCOO (base.c gemv /
+    sparse.c:1073 sp_dgemv)."""
+    A = _maybe_bcoo(A)
+    x = jnp.asarray(x)
+    if trans == "T":
+        out = alpha * (A.T @ x)
+    else:
+        out = alpha * (A @ x)
+    if y is not None and beta != 0.0:
+        out = out + beta * jnp.asarray(y)
+    return out
+
+
+def gemm(A, B, transA="N", transB="N", alpha=1.0):
+    """alpha*op(A)*op(B); either operand may be BCOO (base.c gemm /
+    sparse.c:1255 sp_dgemm)."""
+    A = _maybe_bcoo(A)
+    B = _maybe_bcoo(B)
+    Ao = A.T if transA == "T" else A
+    Bo = B.T if transB == "T" else B
+    return alpha * (Ao @ Bo)
+
+
+def syrk(A, trans="N", alpha=1.0):
+    """alpha*A*A' (or A'*A with trans='T'); A dense or BCOO
+    (base.c syrk / sparse.c:2173 sp_dsyrk).  For the fixed-pattern
+    `partial=True` re-assembly analogue see
+    ops/sparse_kkt.make_band_plan/assemble_band."""
+    A = _maybe_bcoo(A)
+    if trans == "T":
+        out = A.T @ A
+    else:
+        out = A @ A.T
+    if isinstance(out, jxs.BCOO):
+        out = out.todense()
+    return alpha * out
+
+
+def symv(A, x, alpha=1.0):
+    """alpha * sym(A) * x with only the lower triangle of A referenced
+    (base.c symv)."""
+    Ad = A.todense() if isinstance(A, jxs.BCOO) else jnp.asarray(A)
+    S = jnp.tril(Ad) + jnp.swapaxes(jnp.tril(Ad, -1), -1, -2)
+    return alpha * (S @ jnp.asarray(x))
+
+
 # ---- spmatrix accessors (sparse.c .I/.J/.V/.CCS attributes) ----------
 #
 # BCOO carries (data, indices); these helpers expose the reference's

@@ -1,0 +1,55 @@
+"""Mixed sparse/dense base-level linear algebra (reference base.c
+axpy/gemv/gemm/syrk with sparse operands, sparse.c sp_d* kernels)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import cvxopt_tpu as cvx
+from cvxopt_tpu import base
+
+
+def _sp(seed, m, n, d=0.3):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((m, n)) * (rng.random((m, n)) < d)
+    I, J = np.nonzero(M)
+    return M, cvx.spmatrix(M[I, J], I, J, size=(m, n))
+
+
+def test_axpy_gemv_mixed():
+    rng = np.random.default_rng(0)
+    M, S = _sp(1, 6, 4)
+    D = rng.standard_normal((6, 4))
+    np.testing.assert_allclose(np.asarray(base.axpy(S, D, alpha=2.0)),
+                               D + 2.0 * M, atol=1e-12)
+    x = rng.standard_normal(4)
+    y = rng.standard_normal(6)
+    np.testing.assert_allclose(np.asarray(base.gemv(S, x)), M @ x,
+                               atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(base.gemv(S, y, trans="T", alpha=0.5)),
+        0.5 * M.T @ y, atol=1e-12)
+
+
+def test_gemm_syrk_mixed():
+    rng = np.random.default_rng(2)
+    M, S = _sp(3, 5, 7)
+    D = rng.standard_normal((7, 3))
+    np.testing.assert_allclose(np.asarray(base.gemm(S, D)), M @ D,
+                               atol=1e-12)
+    N, T = _sp(4, 5, 7)
+    out = base.gemm(S, T, transB="T")
+    out = out.todense() if hasattr(out, "todense") else out
+    np.testing.assert_allclose(np.asarray(out), M @ N.T, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(base.syrk(S)), M @ M.T,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(base.syrk(S, trans="T")),
+                               M.T @ M, atol=1e-12)
+
+
+def test_symv():
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((5, 5))
+    x = rng.standard_normal(5)
+    S = np.tril(A) + np.tril(A, -1).T
+    np.testing.assert_allclose(np.asarray(base.symv(A, x)), S @ x,
+                               atol=1e-12)
