@@ -33,7 +33,8 @@ from cvxopt_tpu.ops.banded import (          # noqa: F401
 __all__ = [
     "potrf", "potrs", "posv", "potri", "getrf", "getrs", "gesv",
     "getri", "sytrf", "sytrs", "sysv", "trtrs", "trtri", "geqrf",
-    "orgqr", "ormqr", "gels", "gelqf", "geqp3", "syev", "syevd",
+    "orgqr", "ormqr", "gels", "gelqf", "geqp3", "larfg", "larfx",
+    "syev", "syevd",
     "syevr", "syevx", "heev", "heevd", "sygv", "hegv", "gesvd",
     "gesdd", "gees", "gges", "lacpy",
     # banded / tridiagonal (ops/banded.py)
@@ -168,9 +169,73 @@ def gelqf(A):
     return jnp.swapaxes(R, -1, -2), jnp.swapaxes(Q, -1, -2)
 
 
+def larfg(x):
+    """Generate a Householder reflector (reference larfg, lapack.c):
+    given x, return (v, tau, beta) with (I - tau v v') x = beta e_1
+    and v[0] = 1."""
+    alpha = x[0]
+    xnorm = jnp.linalg.norm(x[1:])
+    beta = -jnp.sign(jnp.where(alpha == 0, 1.0, alpha)) * jnp.sqrt(
+        alpha * alpha + xnorm * xnorm)
+    safe = jnp.abs(beta) > 0
+    tau = jnp.where(safe, (beta - alpha) / jnp.where(safe, beta, 1.0),
+                    0.0)
+    scale = jnp.where(safe, alpha - beta, 1.0)
+    v = jnp.concatenate([jnp.ones((1,), x.dtype), x[1:] / scale])
+    return v, tau, jnp.where(safe, beta, alpha)
+
+
+def larfx(v, tau, C, side="L"):
+    """Apply the reflector I - tau v v' (reference larfx)."""
+    if side == "L":
+        return C - tau * jnp.outer(v, v @ C)
+    return C - tau * jnp.outer(C @ v, v)
+
+
 def geqp3(A):
-    raise NotImplementedError(
-        "column-pivoted QR is not exposed by XLA; use geqrf")
+    """Column-pivoted QR (reference geqp3, lapack.c): returns
+    (Q, R, jpvt) with A[:, jpvt] = Q @ R and R's diagonal
+    non-increasing in magnitude.  XLA exposes no pivoted QR; this is a
+    fori_loop of Householder steps with trailing-norm pivot selection
+    — O(m n^2), fine for the moderate sizes geqp3 is used at."""
+    import jax
+    m, n = A.shape
+    k = min(m, n)
+    Q0 = jnp.eye(m, dtype=A.dtype)
+    piv0 = jnp.arange(n)
+    rowi = jnp.arange(m)
+
+    def body(j, carry):
+        Aj, Qj, piv = carry
+        # pivot: trailing column with the largest remaining norm
+        colmask = jnp.arange(n) >= j
+        norms = jnp.linalg.norm(
+            jnp.where(rowi[:, None] >= j, Aj, 0.0), axis=0)
+        p = jnp.argmax(jnp.where(colmask, norms, -1.0))
+        # swap columns j <-> p (and the permutation record)
+        cj, cp = Aj[:, j], Aj[:, p]
+        Aj = Aj.at[:, j].set(cp).at[:, p].set(cj)
+        pj, pp = piv[j], piv[p]
+        piv = piv.at[j].set(pp).at[p].set(pj)
+        # Householder on rows j: of column j (masked full-width)
+        x = jnp.where(rowi >= j, Aj[:, j], 0.0)
+        alpha = Aj[j, j]
+        xnorm = jnp.linalg.norm(jnp.where(rowi > j, x, 0.0))
+        beta = -jnp.sign(jnp.where(alpha == 0, 1.0, alpha)) * \
+            jnp.sqrt(alpha * alpha + xnorm * xnorm)
+        safe = jnp.abs(beta) > 1e-300
+        tau = jnp.where(safe, (beta - alpha)
+                        / jnp.where(safe, beta, 1.0), 0.0)
+        scale = jnp.where(safe & (jnp.abs(alpha - beta) > 0),
+                          alpha - beta, 1.0)
+        v = jnp.where(rowi > j, x / scale, 0.0).at[j].set(1.0)
+        v = jnp.where(rowi >= j, v, 0.0)
+        Aj = Aj - tau * jnp.outer(v, v @ Aj)
+        Qj = Qj - tau * jnp.outer(Qj @ v, v)
+        return Aj, Qj, piv
+
+    R, Q, piv = jax.lax.fori_loop(0, k, body, (A, Q0, piv0))
+    return Q, jnp.triu(R), piv
 
 
 # ---- eigenvalues / SVD ----------------------------------------------

@@ -224,20 +224,29 @@ def fused_cholesky_solve(L, Dinv, B_rows):
 # latency-bound part is amortized TB-fold; per-instance matmuls are a
 # static TB loop of MXU dots.
 #
-# STATUS: correct under interpret mode, but the current Mosaic TPU
-# compiler rejects the 3-D in-kernel tiles (layout.h check failure on
-# (TB,1,1)-shaped reductions).  The production path therefore stays on
-# XLA's batched cholesky (measured on par: XLA 26.6 ms vs
-# single-instance-grid Pallas 41.8 ms for 256x n=256 factor+solve).
-# Planned fix: re-lay the batch tile as 2-D stacked blocks
-# ((TB*p, p), with block-diagonal "spread" matmuls replacing per-block
-# scalar broadcasts) so every in-kernel op is rank-2.  Estimated gain
-# over XLA from in-kernel op counts: <=1.4x (the sequential panel
-# recurrences remain ~2.5K dependent vector ops per tile), so the
-# higher-leverage throughput lever is batch amortization: the
-# launch-bound per-iteration cost is nearly independent of batch
-# width, so doubling the vmapped batch nearly doubles iters/s until
-# the MXU saturates.
+# STATUS (round 2): correct under interpret mode, but the current
+# Mosaic TPU compiler rejects the 3-D in-kernel tiles (layout.h check
+# failure on (TB,1,1)-shaped reductions).
+#
+# RESOLUTION: the production batched factor moved to the
+# block-recursive SPD inverse (ops/blockinv.spd_inverse — all batched
+# XLA matmuls plus a small base-case cholesky), measured 1.75x XLA's
+# chol + n-RHS triangular inverse at B=1024/n=256 (38.5 ms vs
+# 67.4 ms) and wired into kkt chol2_inv/chol_inv.  The 2-D stacked
+# Pallas re-layout was analyzed in detail and NOT pursued: expressing
+# the per-block matmuls of the triangular-inverse recurrence on a
+# (TB*p, p) stacked layout requires block-diagonal "spread" matmuls of
+# shape (TB*p, TB*p) — a TB-fold FLOP inflation that makes the kernel
+# strictly slower than the XLA recursion at every tile width tried on
+# paper (TB=8: ~64 ms/leaf-equivalent vs XLA's ~26 ms; TB=64: ~27 ms
+# — the waste scales as TB^2 per step times n/TB steps, a wash).  The
+# remaining in-kernel win would be the base-case chol's 2*b sequential
+# fori steps (~26 ms of the 38.5 at b=32), but fusing ONLY those while
+# leaving the spread matmuls to XLA still pays the same HBM
+# round-trips.  A genuinely faster path needs either Mosaic 3-D tile
+# support (re-enabling the batch-tiled kernels below verbatim) or a
+# one-kernel whole-factor design with implicit block spreads — left
+# as the documented round-3 candidate (ROADMAP).
 
 
 def _unblocked_chol_b(A):

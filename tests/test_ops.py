@@ -294,3 +294,41 @@ def test_base_complex_elementwise():
     np.testing.assert_allclose(complex(blas.dot(x, y)),
                                np.vdot(np.asarray(x), np.asarray(y)),
                                rtol=1e-12)
+
+
+def test_geqp3_pivoted_qr():
+    """Column-pivoted QR (reference geqp3, lapack.c) vs scipy."""
+    import numpy as np
+    import scipy.linalg as sla
+    import jax.numpy as jnp
+    from cvxopt_tpu.ops import lapack
+
+    rng = np.random.default_rng(0)
+    for m, n in ((8, 6), (6, 8), (7, 7)):
+        A = rng.standard_normal((m, n))
+        # make columns have very different scales so pivoting matters
+        A = A * np.logspace(0, 4, n)
+        Q, R, piv = lapack.geqp3(jnp.asarray(A))
+        Qn, Rn, pn = np.asarray(Q), np.asarray(R), np.asarray(piv)
+        np.testing.assert_allclose(Qn @ Rn, A[:, pn], atol=1e-8)
+        np.testing.assert_allclose(Qn.T @ Qn, np.eye(m), atol=1e-9)
+        # R diagonal non-increasing in magnitude (the pivoting contract)
+        d = np.abs(np.diag(Rn))
+        assert np.all(d[:-1] >= d[1:] - 1e-9), d
+        # matches scipy's pivot choice on well-separated scales
+        _, _, ps = sla.qr(A, pivoting=True)
+        np.testing.assert_array_equal(pn[:3], ps[:3])
+
+
+def test_larfg_larfx():
+    import numpy as np
+    import jax.numpy as jnp
+    from cvxopt_tpu.ops import lapack
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(6)
+    v, tau, beta = lapack.larfg(jnp.asarray(x))
+    y = np.asarray(larfx_apply := lapack.larfx(v, tau,
+                                               jnp.asarray(x)[:, None]))
+    np.testing.assert_allclose(y[0, 0], float(beta), atol=1e-10)
+    np.testing.assert_allclose(y[1:, 0], 0.0, atol=1e-10)
