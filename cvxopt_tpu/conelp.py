@@ -584,6 +584,72 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
 
 
 @functools.lru_cache(maxsize=128)
+def make_conelp_cascade(dims: ConeDims, kktsolver: str = "default",
+                        maxiters: int = 100, abstol: float = 1e-7,
+                        reltol: float = 1e-6, feastol: float = 1e-7,
+                        refinement: Optional[int] = None,
+                        kktreg: Optional[float] = None,
+                        phase1_tol: float = 1e-4,
+                        shared_GhAb: bool = True):
+    """Progressive-precision conelp for TPU batches (the LP/conic-LP
+    analogue of coneqp.make_coneqp_cascade): solve(c, G, h, A, b) with
+    a leading batch axis on c (and on G/h/A/b unless ``shared_GhAb``).
+
+    Phase A solves in pure f32 to `phase1_tol`; phase B re-enters the
+    HSD solver in f64 with mixed-precision factors via the
+    Mehrotra-shifted warm start of `make_conelp_ws` (tau/kappa restart
+    at 1, which the HSD embedding absorbs in one re-centering step)
+    plus the per-instance f64 rescue ('rescue' factor mode).
+    Instances phase A flags as primal/dual infeasible at 1e-4 are
+    still re-verified by phase B at the target tolerance (its cold
+    restart handles certificate-side failures).  Total `iterations`
+    counts both phases."""
+    kktsolver, refinement = _resolve_opts(dims, kktsolver, refinement)
+    f32 = jnp.float32
+
+    def phase_a(c, G, h, A, b):
+        c1, G1, h1, A1, b1 = (u.astype(f32) for u in (c, G, h, A, b))
+        factor_a = kktmod.get_kktsolver(kktsolver, G1, dims, A1,
+                                        kktreg=kktreg)
+        raw = _conelp_solve(
+            dims, factor=factor_a,
+            Gf=lambda x: G1 @ x, GTf=lambda z: G1.T @ z,
+            Af=lambda x: A1 @ x, ATf=lambda y: A1.T @ y,
+            c=c1, h=h1, b=b1, n=c.shape[0], p=A.shape[0], dtype=f32,
+            maxiters=maxiters, abstol=max(phase1_tol, abstol),
+            reltol=max(phase1_tol, reltol),
+            feastol=max(phase1_tol, feastol), refinement=0,
+            show_progress=False)
+        return {k: raw[k] for k in ("x", "y", "z", "iterations")}
+
+    ws = make_conelp_ws(dims, kktsolver=kktsolver, maxiters=maxiters,
+                        abstol=abstol, reltol=reltol, feastol=feastol,
+                        refinement=max(1, refinement), kktreg=kktreg,
+                        factor_dtype="rescue")
+
+    data_axes = (0, None, None, None, None) if shared_GhAb \
+        else (0, 0, 0, 0, 0)
+    va = jax.jit(jax.vmap(phase_a, in_axes=data_axes))
+    vb = jax.jit(jax.vmap(
+        lambda c, G, h, A, b, x0, y0, z0: ws(c, G, h, A, b,
+                                             x0, y0, z0),
+        in_axes=data_axes + (0, 0, 0)))
+
+    def solve(c, G, h, A, b):
+        raw_a = va(c, G, h, A, b)
+        dt = jnp.asarray(c).dtype
+        x0 = raw_a["x"].astype(dt)
+        y0 = raw_a["y"].astype(dt)
+        z0 = raw_a["z"].astype(dt)
+        raw = dict(vb(c, G, h, A, b, x0, y0, z0))
+        raw["iterations"] = raw["iterations"] + raw_a["iterations"]
+        raw["phase1_iterations"] = raw_a["iterations"]
+        return raw
+
+    return solve
+
+
+@functools.lru_cache(maxsize=128)
 def make_conelp_ws(dims: ConeDims, kktsolver: str = "default",
                    maxiters: int = 100, abstol: float = 1e-7,
                    reltol: float = 1e-6, feastol: float = 1e-7,

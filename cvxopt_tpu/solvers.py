@@ -16,11 +16,13 @@ solvers and the shared `options` dict.
     options['kktreg']         static KKT regularization (default: None)
 """
 
-from cvxopt_tpu.conelp import conelp, make_conelp
+from cvxopt_tpu.conelp import conelp, make_conelp, \
+    make_conelp_cascade, make_conelp_ws
 from cvxopt_tpu.coneqp import coneqp, make_coneqp, make_coneqp_cascade
 from cvxopt_tpu.frontends import lp, qp, socp, sdp
 
 options = {}
 
 __all__ = ["conelp", "coneqp", "lp", "qp", "socp", "sdp", "options",
-           "make_conelp", "make_coneqp", "make_coneqp_cascade"]
+           "make_conelp", "make_coneqp", "make_coneqp_cascade",
+           "make_conelp_cascade", "make_conelp_ws"]

@@ -1,0 +1,81 @@
+"""Progressive-precision cascades (coneqp.make_coneqp_cascade,
+conelp.make_conelp_cascade): full 1e-7 accuracy via f32 phase +
+warm-started mixed phase + per-instance f64 rescue."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvxopt_tpu.cones import ConeDims
+from cvxopt_tpu.coneqp import make_coneqp_cascade, make_coneqp
+from cvxopt_tpu.conelp import make_conelp_cascade, make_conelp
+
+
+def test_coneqp_cascade_matches_f64():
+    n, nb = 32, 8
+    rng = np.random.default_rng(0)
+    F = rng.standard_normal((nb, n, n // 4)) / np.sqrt(n)
+    P = F @ F.transpose(0, 2, 1) + 0.1 * np.eye(n)
+    q = -rng.uniform(0, 0.1, (nb, n))
+    I = np.eye(n)
+    G = np.concatenate([-I, I], 0)
+    h = np.concatenate([np.zeros(n), np.ones(n)])
+    A = np.ones((1, n))
+    b = np.ones(1)
+    dims = ConeDims(l=2 * n)
+    solve = make_coneqp_cascade(dims, kktsolver="chol2_inv",
+                                abstol=1e-7, reltol=1e-7, feastol=1e-7)
+    out = solve(jnp.asarray(P), jnp.asarray(q), jnp.asarray(G),
+                jnp.asarray(h), jnp.asarray(A), jnp.asarray(b))
+    assert (np.asarray(out["status"]) == 0).all()
+    assert float(jnp.max(out["gap"])) <= 1e-7 * 1.01
+    ref = make_coneqp(dims, kktsolver="chol2", abstol=1e-7,
+                      reltol=1e-7, feastol=1e-7)
+    o2 = jax.vmap(lambda Pk, qk: ref(Pk, qk, jnp.asarray(G),
+                                     jnp.asarray(h), jnp.asarray(A),
+                                     jnp.asarray(b)))(
+        jnp.asarray(P), jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(out["x"]),
+                               np.asarray(o2["x"]), atol=1e-7)
+
+
+def test_conelp_cascade_matches_f64():
+    n, nb = 24, 8
+    rng = np.random.default_rng(1)
+    I = np.eye(n)
+    G = np.concatenate([-I, I], 0)
+    h = np.concatenate([np.zeros(n), np.ones(n)])
+    A = np.ones((1, n))
+    b = np.array([n / 3.0])
+    c = rng.standard_normal((nb, n)) * 0.3
+    dims = ConeDims(l=2 * n)
+    solve = make_conelp_cascade(dims, abstol=1e-7, reltol=1e-7,
+                                feastol=1e-7)
+    out = solve(jnp.asarray(c), jnp.asarray(G), jnp.asarray(h),
+                jnp.asarray(A), jnp.asarray(b))
+    st = np.asarray(out["status"])
+    assert (st == 0).all(), st
+    ref = make_conelp(dims, abstol=1e-7, reltol=1e-7, feastol=1e-7)
+    o2 = jax.vmap(lambda ck: ref(ck, jnp.asarray(G), jnp.asarray(h),
+                                 jnp.asarray(A), jnp.asarray(b)))(
+        jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(out["pcost"]),
+                               np.asarray(o2["pcost"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["x"]),
+                               np.asarray(o2["x"]), atol=1e-5)
+
+
+def test_conelp_cascade_detects_infeasible():
+    # x <= -1 and x >= 1: primal infeasible at any tolerance
+    n, nb = 1, 4
+    G = np.array([[1.0], [-1.0]])
+    h = np.array([-1.0, -1.0])
+    A = np.zeros((0, n))
+    b = np.zeros(0)
+    c = np.ones((nb, n))
+    dims = ConeDims(l=2)
+    solve = make_conelp_cascade(dims, abstol=1e-7, reltol=1e-7,
+                                feastol=1e-7)
+    out = solve(jnp.asarray(c), jnp.asarray(G), jnp.asarray(h),
+                jnp.asarray(A), jnp.asarray(b))
+    assert (np.asarray(out["status"]) == 1).all(), out["status"]
