@@ -85,3 +85,46 @@ def test_block_sharded_matches_single_device():
     assert sol8["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(sol8["x"]),
                                np.asarray(sol1["x"]), atol=1e-7)
+
+
+def test_sharded_kkt_n10240_factor_solve():
+    """BASELINE primary-metric row at n=10k for the SHARDED path: a
+    10240-variable block QP's KKT factors and solves over the
+    8-device virtual mesh (K=8 scenario blocks of nk=1248 + n0=256
+    coupling variables, local equalities included).  Hardware note:
+    real multi-chip is unavailable in this environment; this runs the
+    full shard_map + psum code path on the virtual CPU mesh and
+    records wall time (the algorithmic cost is 8 parallel 1248^3
+    factors + one 256^3 reduced factor instead of one 10240^3)."""
+    import time
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(devs[:8]), ("batch",))
+    K, nk, n0 = 8, 1248, 256
+    assert K * nk + n0 == 10240
+    qp = random_block_qp(K=K, nk=nk, n0=n0, l=nk, q=(), pk=4, seed=0)
+    kkt = make_block_kktsolver(qp, mesh=mesh)
+    from cvxopt_tpu.scaling import identity_scaling
+    W = identity_scaling(qp.dims, dtype=jnp.float64)
+
+    @jax.jit
+    def factor_solve(d):
+        W2 = dict(W)
+        W2["d"] = W["d"] * d
+        W2["di"] = W["di"] / d
+        solve = kkt(W2)
+        bx = jnp.ones((K * nk + n0,))
+        by = jnp.zeros((K * qp.pk + qp.p0,))
+        bz = jnp.ones((qp.dims.cdim,))
+        ux, uy, Wuz = solve(bx, by, bz)
+        return ux.sum() + uy.sum() + Wuz.sum()
+
+    float(factor_solve(jnp.asarray(1.0)))        # compile
+    t0 = time.time()
+    float(factor_solve(jnp.asarray(1.1)))
+    dt = (time.time() - t0) * 1e3
+    print(f"\nsharded n=10240 KKT factor+solve: {dt:.0f} ms "
+          f"(8-device virtual CPU mesh)")
+    assert np.isfinite(dt)
