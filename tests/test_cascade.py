@@ -79,3 +79,51 @@ def test_conelp_cascade_detects_infeasible():
     out = solve(jnp.asarray(c), jnp.asarray(G), jnp.asarray(h),
                 jnp.asarray(A), jnp.asarray(b))
     assert (np.asarray(out["status"]) == 1).all(), out["status"]
+
+
+def test_rescue_engages_per_instance_in_mixed_batch():
+    """A vmapped batch mixing well-conditioned QPs with a degenerate
+    instance: the rescue phase must engage ONLY for the degenerate one
+    and every instance must meet the 1e-7 contract (the per-instance
+    while_loop rescue design, conelp.RESCUE_*)."""
+    n, nb = 16, 6
+    rng = np.random.default_rng(3)
+    I = np.eye(n)
+    G = np.concatenate([-I, I], 0)
+    h_clean = np.concatenate([np.zeros(n), np.ones(n)])
+    A = np.ones((1, n))
+    b = np.ones(1)
+    dims = ConeDims(l=2 * n)
+
+    P = np.zeros((nb, n, n))
+    q = np.zeros((nb, n))
+    h = np.tile(h_clean, (nb, 1))
+    for i in range(nb):
+        F = rng.standard_normal((n, n // 4)) / np.sqrt(n)
+        P[i] = F @ F.T + 0.1 * I
+        q[i] = -rng.uniform(0, 0.1, n)
+    # instance 3: near-degenerate — almost-zero curvature along a
+    # direction and an objective that activates many bounds at once
+    P[3] = 1e-6 * np.eye(n)
+    q[3] = -np.ones(n) * 0.5
+
+    from cvxopt_tpu.coneqp import make_coneqp
+    # force the two-phase machinery with an f32 phase-1 factor on CPU
+    core = make_coneqp(dims, kktsolver="chol2_inv", maxiters=60,
+                       abstol=1e-7, reltol=1e-7, feastol=1e-7,
+                       refinement=1, factor_dtype="rescue")
+    out = jax.vmap(lambda Pk, qk, hk: core(
+        Pk, qk, jnp.asarray(G), hk, jnp.asarray(A), jnp.asarray(b)))(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(h))
+    st = np.asarray(out["status"])
+    assert (st == 0).all(), (st, np.asarray(out["dres"]))
+    assert float(jnp.max(out["pres"])) <= 1e-7
+    assert float(jnp.max(out["dres"])) <= 1e-7
+    # solutions match the pure-f64 solver per instance
+    ref = make_coneqp(dims, kktsolver="chol2", maxiters=60,
+                      abstol=1e-7, reltol=1e-7, feastol=1e-7)
+    o2 = jax.vmap(lambda Pk, qk, hk: ref(
+        Pk, qk, jnp.asarray(G), hk, jnp.asarray(A), jnp.asarray(b)))(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(out["x"]),
+                               np.asarray(o2["x"]), atol=1e-5)
