@@ -49,7 +49,8 @@ from cvxopt_tpu.conelp import (
 def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
                   q, h, b, n, p, dtype, maxiters, abstol, reltol,
                   feastol, refinement, correction, show_progress,
-                  initvals=None, factor_W64=None, refine_pred=True):
+                  initvals=None, factor_W64=None, refine_pred=True,
+                  relres_trigger=True):
     """The coneqp algorithm with all linear maps abstracted as closures
     (coneprog.py:1440-2547).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -84,6 +85,26 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         y = jnp.asarray(initvals.get("y", jnp.zeros(p, dtype)), dtype)
         s = jnp.asarray(initvals.get("s", e), dtype)
         z = jnp.asarray(initvals.get("z", e), dtype)
+        if cold is not None:
+            # per-instance warm-start validation: a warm start whose
+            # slacks are non-finite or not strictly interior (e.g. the
+            # handoff from a failed reduced-precision phase) would NaN
+            # compute_scaling on the spot; those instances restart from
+            # the cold initial point instead (vmap-safe elementwise
+            # select — the cascade's phase B relies on this)
+            valid = (jnp.isfinite(jnp.sum(x)) & jnp.isfinite(jnp.sum(y))
+                     & (cones.max_step(s, dims) < 0)
+                     & (cones.max_step(z, dims) < 0))
+            if "_valid" in initvals:
+                # caller-supplied validity (the cascade: phase A must
+                # have actually converged — a failed phase's iterates
+                # can be interior yet catastrophically off-center,
+                # e.g. z within 1e-11 of the boundary at mu ~ 1e-4)
+                valid = valid & initvals["_valid"]
+            x = jnp.where(valid, x, cold[0])
+            y = jnp.where(valid, y, cold[1])
+            s = jnp.where(valid, s, cold[2])
+            z = jnp.where(valid, z, cold[3])
 
     def _mkstate(x_, y_, s_, z_):
         W_, lmbda_ = nt.compute_scaling(s_, z_, dims)
@@ -283,7 +304,16 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
             # m > 100 gate stops transient near-convergence residual
             # expansion (harmless — the outcome triggers would catch
             # any real failure) from flagging clean instances.
-            fail = ~ok | ((relres > RESCUE_RELRES) & (m > 100.0))
+            # the relres trigger assumes refinement is normwise
+            # convergent for a healthy factor — true for equilibrated
+            # Cholesky ('l' cones), FALSE for kkt_cholqr on q/s cones,
+            # where eps_f32*kappa(S) > 1 makes the normwise residual
+            # expand even though the step error lies in directions the
+            # IPM tolerates (Wright's benign ill-conditioning); there
+            # the stall/collapse/NaN triggers below carry the rescue
+            fail = ~ok
+            if relres_trigger:
+                fail = fail | ((relres > RESCUE_RELRES) & (m > 100.0))
             fail_status = STATUS_NEEDS_F64
         else:
             fail = ~ok
@@ -382,16 +412,18 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
         fd = factor_dtype
         factor_W64 = None
         if fd == "rescue":
-            f64 = kktmod.get_kktsolver(
-                kktmod.robust_name(kktsolver), G, dims, A,
-                kktreg=kktreg, factor_dtype=None)
-            factor_W64 = lambda W: f64(W, P)
+            rname = kktmod.robust_name(kktsolver)
+            f64 = kktmod.get_kktsolver(rname, G, dims, A,
+                                       kktreg=kktreg, factor_dtype=None)
+            P64 = kktmod.wrap_P(rname, P)
+            factor_W64 = lambda W: f64(W, P64)
             fd = "float32"
         factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
                                       kktreg=kktreg,
                                       factor_dtype=fd)
+        Pw = kktmod.wrap_P(kktsolver, P)
         return _coneqp_solve(
-            dims, factor_W=lambda W: factor(W, P),
+            dims, factor_W=lambda W: factor(W, Pw),
             factor_W64=factor_W64,
             Pf=lambda x: P @ x,
             Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
@@ -449,8 +481,13 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
     """
     kktsolver, refinement = _resolve_qp_opts(dims, kktsolver,
                                              refinement)
-    refinement_b = max(1, refinement)
     mixed_ok = not (dims.q or dims.s)
+    # q/s phase B factors in f32 through kkt_cholqr; its per-solve
+    # error ~eps_f32*sqrt(kappa(S)) needs two refinement rounds near
+    # 1e-7 (measured: one round leaves dres ~1e-9..1e-1 depending on
+    # instance, two rounds are uniformly clean)
+    refinement_b = max(1, refinement) if mixed_ok \
+        else max(2, refinement)
     f32 = jnp.float32
 
     def phase_a(P, q, G, h, A, b):
@@ -468,24 +505,36 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
             reltol=max(phase1_tol, reltol),
             feastol=max(phase1_tol, feastol), refinement=0,
             correction=correction, show_progress=False)
-        return {k: raw[k] for k in ("x", "y", "s", "z", "iterations")}
+        out = {k: raw[k] for k in ("x", "y", "s", "z", "iterations")}
+        out["status"] = raw["status"]
+        return out
 
     def phase_bc(P, q, G, h, A, b, iv):
-        f64fac = kktmod.get_kktsolver(
-            kktmod.robust_name(kktsolver), G, dims, A,
-            kktreg=kktreg, factor_dtype=None)
+        rname = kktmod.robust_name(kktsolver)
+        f64fac = kktmod.get_kktsolver(rname, G, dims, A,
+                                      kktreg=kktreg, factor_dtype=None)
         if mixed_ok:
+            bname = kktsolver
             factor_b = kktmod.get_kktsolver(kktsolver, G, dims, A,
                                             kktreg=kktreg,
                                             factor_dtype="float32")
         else:
-            factor_b = f64fac
-        # factor_W64 is kept even when phase B is already f64: the
-        # rescue machinery then acts as a cold-restart safety net for
-        # instances the warm start cannot finish
+            # 'q'/'s' cones: the condition-halving QR strategy
+            # (kkt.kkt_cholqr) keeps f32 factors inside refinement's
+            # convergence region where an f32 Cholesky of the formed
+            # normal equations cannot (kappa(R) = sqrt(kappa(S)));
+            # anything it still cannot finish restarts in phase C
+            bname = "cholqr_inv"
+            factor_b = kktmod.get_kktsolver(bname, G, dims, A,
+                                            kktreg=kktreg,
+                                            factor_dtype="float32")
+        Pb = kktmod.wrap_P(bname, P)
+        P64 = kktmod.wrap_P(rname, P)
+        # factor_W64 is the per-instance cold-restart safety net for
+        # instances the mixed-precision warm start cannot finish
         return _coneqp_solve(
-            dims, factor_W=lambda W: factor_b(W, P),
-            factor_W64=lambda W: f64fac(W, P),
+            dims, factor_W=lambda W: factor_b(W, Pb),
+            factor_W64=lambda W: f64fac(W, P64),
             Pf=lambda x: P @ x,
             Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
             Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
@@ -493,7 +542,7 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement_b,
             correction=correction, show_progress=False, initvals=iv,
-            refine_pred=False)
+            refine_pred=False, relres_trigger=mixed_ok)
 
     data_axes = (0, 0, None, None, None, None) if shared_GhAb \
         else (0, 0, 0, 0, 0, 0)
@@ -504,6 +553,7 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
         raw_a = va(P, q, G, h, A, b)
         iv = {k: raw_a[k].astype(jnp.asarray(P).dtype)
               for k in ("x", "y", "s", "z")}
+        iv["_valid"] = raw_a["status"] == STATUS_OPTIMAL
         raw = vb(P, q, G, h, A, b, iv)
         raw = dict(raw)
         raw["iterations"] = raw["iterations"] + raw_a["iterations"]
@@ -640,14 +690,17 @@ def _adv_qp_runner(dims, n, pdim, fkey, factor_dtype, kktreg,
         else:
             fd = factor_dtype
             if fd == "rescue":
+                rname = kktmod.robust_name(fkey)
                 f64 = kktmod.get_kktsolver(
-                    kktmod.robust_name(fkey), Gm, dims, Am,
+                    rname, Gm, dims, Am,
                     kktreg=kktreg, factor_dtype=None)
-                factor_W64 = lambda W: f64(W, Pm)
+                P64 = kktmod.wrap_P(rname, Pm)
+                factor_W64 = lambda W: f64(W, P64)
                 fd = "float32"
             factor = kktmod.get_kktsolver(
                 fkey, Gm, dims, Am, kktreg=kktreg, factor_dtype=fd)
-            factor_W = lambda W: factor(W, Pm)
+            Pw = kktmod.wrap_P(fkey, Pm)
+            factor_W = lambda W: factor(W, Pw)
         return _coneqp_solve(
             dims, factor_W=factor_W, factor_W64=factor_W64,
             Pf=Pf, Gf=Gf, GTf=GTf, Af=Af,

@@ -477,6 +477,144 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
     return factor
 
 
+class PFactor:
+    """A precomputed square-root factor of the (1,1) block: Rt'Rt = P.
+
+    `kkt_cholqr` recomputes this factor (an eigh) on every call when
+    handed a raw matrix; solver loops hoist the eigh out of the
+    iteration by passing ``PFactor(psqrt_factor(P))`` instead — the
+    (1,1) block is constant across coneqp iterations
+    (coneprog.py:1980-1981 passes the same P to every factor call)."""
+
+    def __init__(self, Rt):
+        self.Rt = Rt
+
+
+def psqrt_factor(P) -> "PFactor":
+    """PSD square-root factor Rt with Rt'Rt = P, via eigh (PSD-safe:
+    negative eigenvalues from roundoff are clamped to zero)."""
+    w, U = jnp.linalg.eigh(P)
+    Rt = jnp.sqrt(jnp.maximum(w, 0.0))[..., :, None] \
+        * jnp.swapaxes(U, -1, -2)
+    return PFactor(Rt)
+
+
+def kkt_cholqr(G, dims: ConeDims, A, mnl: int = 0,
+               explicit_inverse: bool = False, factor_dtype=None):
+    """Condition-halving QR strategy for coneqp: factor the condensed
+    SPD matrix S = H + GG'W^{-1}W^{-T}GG WITHOUT forming it.
+
+    With Rp'Rp = H (computed once — see `PFactor`) and the stacked
+    matrix M = [W^{-T}GG; Rp], S = M'M exactly; a QR factorization of
+    M·Q2 (Q2 from the once-per-problem QR of A', as in kkt_chol) gives
+    R with R'R = Q2'SQ2 and kappa(R) = sqrt(kappa(S)).  Near
+    convergence the NT-scaled Gram matrix has kappa(S) ~ 1/mu^2 —
+    beyond 1/eps_f32 at 1e-7 tolerances, and NOT repairable by diagonal
+    equilibration when 'q'/'s' blocks make the ill-conditioning
+    anisotropic within a block — but kappa(R) ~ 1/mu stays within f32
+    range, so a reduced-precision factor plus f64 iterative refinement
+    reaches the full 1e-7 contract on SOC/SDP problems where an f32
+    Cholesky of S diverges.  This is the same no-normal-equations
+    principle as the reference's kkt_qr (misc.py:1570, conelp's 'q'/'s'
+    default), extended to the nonzero-(1,1)-block coneqp system.
+
+    ``explicit_inverse=True`` ('cholqr_inv') forms R^{-1} once per
+    factor so per-iteration solves are matmuls (TPU fast path); the
+    explicit-inverse application error ~eps*kappa(R) = eps*sqrt(
+    kappa(S)) stays refinement-recoverable even in f32 — unlike
+    'chol2_inv', whose eps*kappa(S) error makes it rescue-only on
+    cones (see `robust_name`)."""
+    p, n = A.shape
+    if p:
+        Q, RA = jnp.linalg.qr(A.T, mode="complete")      # A' = Q [R1; 0]
+        Q1, Q2 = Q[:, :p], Q[:, p:]
+        R1 = RA[:p, :]
+        R1inv = (jsl.solve_triangular(R1, jnp.eye(p, dtype=G.dtype),
+                                      lower=False)
+                 if explicit_inverse else None)
+    else:
+        Q1 = jnp.zeros((n, 0), dtype=G.dtype)
+        Q2 = jnp.eye(n, dtype=G.dtype)
+        R1 = jnp.zeros((0, 0), dtype=G.dtype)
+        R1inv = None
+
+    def factor(W, H=None, Df=None):
+        GG = _stack_gg(G, Df)
+        io_dtype = GG.dtype
+        fdt = factor_dtype if factor_dtype is not None else io_dtype
+        Wf = jax.tree_util.tree_map(lambda u: u.astype(fdt), W)
+        Gs = scale_rows(GG.astype(fdt), Wf, dims, trans="T",
+                        inverse="I")
+        if H is None:
+            M = Gs
+        else:
+            Rp = H.Rt if isinstance(H, PFactor) \
+                else psqrt_factor(H).Rt
+            M = jnp.concatenate([Gs, Rp.astype(fdt)], axis=0)
+        Q1f, Q2f = Q1.astype(fdt), Q2.astype(fdt)
+        M2 = M @ Q2f                                     # (cdim+n, n-p)
+        # column equilibration (van-der-Sluis on S's diagonal):
+        # ||M2[:,j]||^2 = (Q2'SQ2)_jj
+        deq = jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(M2 * M2, axis=0), jnp.asarray(1e-30, fdt)))
+        R = jnp.linalg.qr(M2 * deq[None, :], mode="r")
+
+        if explicit_inverse:
+            Rinv = jsl.solve_triangular(
+                R, jnp.eye(n - p, dtype=R.dtype), lower=False)
+
+            def Kinv(v):
+                v = deq * v if v.ndim == 1 else deq[:, None] * v
+                w = Rinv @ (Rinv.T @ v)
+                return deq * w if w.ndim == 1 else deq[:, None] * w
+        else:
+            def Kinv(v):
+                v = deq * v if v.ndim == 1 else deq[:, None] * v
+                w = jsl.solve_triangular(R.T, v, lower=True)
+                w = jsl.solve_triangular(R, w, lower=False)
+                return deq * w if w.ndim == 1 else deq[:, None] * w
+
+        def Smv(v):
+            return M.T @ (M @ v)
+
+        def solve(bx, by, bz):
+            # r = bx + GG' W^{-1} W^{-T} bz via the unscaled GG
+            # (shared across vmapped batches; see kkt_chol2.solve)
+            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
+                       W, dims, inverse="I")
+            r = (bx + GG.T @ zs).astype(fdt)
+            byf = by.astype(fdt)
+            if p:
+                if explicit_inverse:
+                    v1 = R1inv.astype(fdt).T @ byf
+                else:
+                    v1 = jsl.solve_triangular(
+                        R1.astype(fdt).T, byf, lower=True)
+                rhs2 = Q2f.T @ (r - Smv(Q1f @ v1))
+            else:
+                v1 = byf
+                rhs2 = Q2f.T @ r
+            v2 = Kinv(rhs2)
+            ux = Q2f @ v2 + (Q1f @ v1 if p else 0.0)
+            if p:
+                ry = Q1f.T @ (r - Smv(ux))
+                if explicit_inverse:
+                    uy = R1inv.astype(fdt) @ ry
+                else:
+                    uy = jsl.solve_triangular(
+                        R1.astype(fdt), ry, lower=False)
+            else:
+                uy = byf
+            ux = ux.astype(io_dtype)
+            uy = uy.astype(io_dtype)
+            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            return ux, uy, Wuz
+
+        return solve
+
+    return factor
+
+
 def kkt_qr(G, dims: ConeDims, A, mnl: int = 0,
            explicit_inverse: bool = False, factor_dtype=None):
     """Zero-(1,1)-block KKT solve by two QR factorizations (reference
@@ -596,7 +734,17 @@ def robust_name(name: str) -> str:
     cone-aware f64 fallbacks therefore always factor with the
     triangular-solve variants."""
     return {"chol2_inv": "chol2", "chol_inv": "chol",
-            "qr_inv": "qr"}.get(name, name)
+            "qr_inv": "qr", "cholqr_inv": "cholqr"}.get(name, name)
+
+
+def wrap_P(name, P):
+    """Hoist `psqrt_factor` out of the solver iteration for the cholqr
+    strategies: the (1,1) block is constant across coneqp iterations,
+    so its eigh runs once per problem, not once per factor call."""
+    if isinstance(name, str) and "cholqr" in name and P is not None \
+            and not callable(P) and hasattr(P, "ndim"):
+        return psqrt_factor(P)
+    return P
 
 
 def resolve_factor_dtype(factor_dtype):
@@ -651,6 +799,12 @@ def get_kktsolver(name: str, G, dims: ConeDims, A, mnl: int = 0,
     if name == "chol_inv":
         return kkt_chol(G, dims, A, mnl=mnl, explicit_inverse=True,
                         factor_dtype=factor_dtype)
+    if name == "cholqr":
+        return kkt_cholqr(G, dims, A, mnl=mnl,
+                          factor_dtype=factor_dtype)
+    if name == "cholqr_inv":
+        return kkt_cholqr(G, dims, A, mnl=mnl, explicit_inverse=True,
+                          factor_dtype=factor_dtype)
     if name == "chol2":
         return kkt_chol2(G, dims, A, mnl=mnl,
                          factor_dtype=factor_dtype)

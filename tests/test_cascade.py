@@ -127,3 +127,41 @@ def test_rescue_engages_per_instance_in_mixed_batch():
         jnp.asarray(P), jnp.asarray(q), jnp.asarray(h))
     np.testing.assert_allclose(np.asarray(out["x"]),
                                np.asarray(o2["x"]), atol=1e-5)
+
+
+def test_coneqp_cascade_soc_stays_mixed():
+    """The q-cone cascade's phase B factors in f32 via kkt_cholqr
+    (condition-halving QR); on a generic strictly-feasible SOC batch
+    no instance should need the f64 rescue phase, and instances whose
+    f32 phase A fails restart from the cold point in phase B (the
+    warm-start validation path) rather than handing NaN scalings on."""
+    nb, n, nq, mq = 8, 32, 20, 4
+    dims = ConeDims(q=(mq,) * nq)
+    m = dims.cdim
+    rng = np.random.default_rng(1)
+    P = np.zeros((nb, n, n))
+    q = np.zeros((nb, n))
+    G = np.zeros((nb, m, n))
+    h = np.zeros((nb, m))
+    for i in range(nb):
+        F = rng.standard_normal((n, n // 4)) / np.sqrt(n)
+        P[i] = F @ F.T + 0.1 * np.eye(n)
+        q[i] = -rng.uniform(0, .1, n)
+        G[i] = 0.3 * rng.standard_normal((m, n))
+        f = 0.1 * rng.standard_normal(m)
+        hh = f.reshape(nq, mq)
+        hh[:, 0] = 1.0
+        h[i] = hh.reshape(-1)
+    A = np.zeros((nb, 0, n))
+    b = np.zeros((nb, 0))
+    solve = make_coneqp_cascade(dims, kktsolver="chol2_inv",
+                                maxiters=50, abstol=1e-7, reltol=1e-7,
+                                feastol=1e-7, shared_GhAb=False)
+    out = solve(*[jnp.asarray(a) for a in (P, q, G, h, A, b)])
+    assert (np.asarray(out["status"]) == 0).all()
+    assert float(jnp.max(out["gap"])) <= 1e-7 * 1.01
+    assert float(jnp.max(out["pres"])) <= 1e-7
+    assert float(jnp.max(out["dres"])) <= 1e-7
+    # this batch is known to contain phase-A failures (seed 1:
+    # instances 1-3); with cholqr phase B none should reach rescue
+    assert int(jnp.sum(out["rescue_iterations"])) == 0

@@ -10,6 +10,7 @@ import pytest
 
 from cvxopt_tpu import solvers
 from cvxopt_tpu.cones import ConeDims
+from cvxopt_tpu.coneqp import make_coneqp
 
 
 def test_doc_lp():
@@ -452,3 +453,79 @@ def test_kkt_ldl2_condensed():
     if ref2["status"] == "optimal":
         np.testing.assert_allclose(np.asarray(sol2["x"]),
                                    np.asarray(ref2["x"]), atol=1e-5)
+
+
+def _soc_qp_instance(n=24, nq=8, mq=4, seed=5, p=1):
+    """A strictly feasible SOC-constrained QP (robls pattern,
+    /root/reference/examples/doc/chap9/robls.py)."""
+    rng = np.random.default_rng(seed)
+    m = nq * mq
+    F = rng.standard_normal((n, max(n // 4, 2))) / np.sqrt(n)
+    P = F @ F.T + 0.1 * np.eye(n)
+    q = -rng.uniform(0, 0.1, n)
+    G = 0.3 * rng.standard_normal((m, n))
+    h = (0.1 * rng.standard_normal(m)).reshape(nq, mq)
+    h[:, 0] = 1.0
+    A = np.ones((p, n))
+    b = np.ones(p)
+    return (jnp.asarray(P), jnp.asarray(q), jnp.asarray(G),
+            jnp.asarray(h.reshape(-1)), jnp.asarray(A), jnp.asarray(b))
+
+
+def test_cholqr_matches_chol():
+    """kkt_cholqr solves the same KKT system as kkt_chol (it never
+    forms S = P + G'W^{-2}G; cf. reference kkt_qr's
+    no-normal-equations principle, misc.py:1570)."""
+    args = _soc_qp_instance()
+    dims = ConeDims(q=(4,) * 8)
+    ref = make_coneqp(dims, kktsolver="chol", abstol=1e-7,
+                      reltol=1e-7, feastol=1e-7)(*args)
+    assert int(ref["status"]) == 0
+    for ks in ("cholqr", "cholqr_inv"):
+        out = make_coneqp(dims, kktsolver=ks, abstol=1e-7,
+                          reltol=1e-7, feastol=1e-7)(*args)
+        assert int(out["status"]) == 0
+        np.testing.assert_allclose(np.asarray(out["x"]),
+                                   np.asarray(ref["x"]), atol=1e-9)
+
+
+def test_cholqr_f32_factor_soc_1e7():
+    """The condition-halving property in action: at 1e-7 tolerances on
+    an SOC QP, an f32 factor of the formed normal equations fails
+    (kappa(S) ~ 1/mu^2 > 1/eps_f32, not diagonally equilibrable) while
+    the f32 QR factor (kappa(R) = sqrt(kappa(S))) converges."""
+    args = _soc_qp_instance(n=32, nq=16, seed=7, p=0)
+    args = args[:4] + (jnp.zeros((0, 32)), jnp.zeros((0,)))
+    dims = ConeDims(q=(4,) * 16)
+    bad = make_coneqp(dims, kktsolver="chol2", abstol=1e-7,
+                      reltol=1e-7, feastol=1e-7,
+                      factor_dtype="float32", refinement=2,
+                      maxiters=60)(*args)
+    good = make_coneqp(dims, kktsolver="cholqr_inv", abstol=1e-7,
+                       reltol=1e-7, feastol=1e-7,
+                       factor_dtype="float32", refinement=2,
+                       maxiters=60)(*args)
+    assert int(good["status"]) == 0
+    assert float(good["gap"]) <= 1e-7 * 1.01
+    # the normal-equations f32 factor must NOT reach the contract
+    # (if this ever starts passing, the cascade can drop cholqr)
+    assert int(bad["status"]) != 0
+
+
+def test_cholqr_equalities_f32():
+    """cholqr's equality elimination (QR of A', as kkt_chol) under an
+    f32 factor."""
+    args = _soc_qp_instance(n=24, nq=8, seed=11, p=2)
+    args = args[:4] + (jnp.asarray(np.vstack([np.ones(24),
+                                              np.arange(24) / 24.])),
+                       jnp.asarray(np.array([1.0, 0.3])))
+    dims = ConeDims(q=(4,) * 8)
+    ref = make_coneqp(dims, kktsolver="chol", abstol=1e-7,
+                      reltol=1e-7, feastol=1e-7)(*args)
+    out = make_coneqp(dims, kktsolver="cholqr_inv", abstol=1e-7,
+                      reltol=1e-7, feastol=1e-7,
+                      factor_dtype="float32", refinement=2,
+                      maxiters=60)(*args)
+    assert int(out["status"]) == 0
+    np.testing.assert_allclose(np.asarray(out["x"]),
+                               np.asarray(ref["x"]), atol=1e-6)
