@@ -146,16 +146,19 @@ def coneqp_np(P, q, G, h, A=None, b=None, maxiters=100, abstol=1e-7,
 # ---------------------------------------------------------------------------
 # General-cone reference (dims with 'l', 'q', 's') — the single-core
 # baseline for the SOCP/SDP benchmark configs and the golden twin for
-# the JAX q/s-cone solvers.  Same role as `coneqp_np` above: the
+# the JAX q/s-cone paths.  Same role as `coneqp_np` above: the
 # reference coneqp algorithm (coneprog.py:1440-2547) with NT scaling
 # over the full symmetric cone (misc.py:250-634), driven from
-# interpreted Python over numpy/LAPACK — cost-profile-equivalent to
-# CVXOPT's own Python + BLAS/LAPACK hot path.  's' blocks are stored
-# fully symmetric (m*m), as in cvxopt_tpu.cones.
+# interpreted Python over numpy/LAPACK.  Runs of equal-size cone
+# blocks are processed as stacked (count, m) / (count, m, m) numpy
+# batches — the vectorized analogue of the reference's C cone kernels
+# (misc_solvers.c), so the baseline's per-iteration overhead is at
+# least as low as CVXOPT's; 's' blocks are stored fully symmetric.
 
 
 class _NpDims:
     def __init__(self, l=0, q=(), s=()):
+        import itertools
         self.l = int(l)
         self.q = [int(m) for m in q]
         self.s = [int(m) for m in s]
@@ -163,29 +166,42 @@ class _NpDims:
         self.sdim = sum(m * m for m in self.s)
         self.cdim = self.l + self.qdim + self.sdim
         self.cdim_diag = self.l + self.qdim + sum(self.s)
-        self.qoff = []
+        self.q_runs = []                     # (offset, count, m)
         off = self.l
-        for m in self.q:
-            self.qoff.append(off)
-            off += m
-        self.soff, self.sdoff = [], []
+        for m, grp in itertools.groupby(self.q):
+            cnt = len(list(grp))
+            self.q_runs.append((off, cnt, m))
+            off += cnt * m
+        self.s_runs = []                     # (off, diag_off, count, m)
         doff = self.l + self.qdim
-        for m in self.s:
-            self.soff.append(off)
-            off += m * m
-            self.sdoff.append(doff)
-            doff += m
+        for m, grp in itertools.groupby(self.s):
+            cnt = len(list(grp))
+            self.s_runs.append((off, doff, cnt, m))
+            off += cnt * m * m
+            doff += cnt * m
 
 
-def _qv(x, dims, k):
-    """View of q-block k; broadcasts over leading axes."""
-    off, m = dims.qoff[k], dims.q[k]
-    return x[..., off:off + m]
+def _qv(x, run):
+    """(..., cnt, m) view of a q-run; broadcasts over leading axes."""
+    off, cnt, m = run
+    return x[..., off:off + cnt * m].reshape(x.shape[:-1] + (cnt, m))
 
 
-def _sv(x, dims, k):
-    off, m = dims.soff[k], dims.s[k]
-    return x[..., off:off + m * m].reshape(x.shape[:-1] + (m, m))
+def _sV(x, run):
+    off, _, cnt, m = run
+    return x[..., off:off + cnt * m * m].reshape(
+        x.shape[:-1] + (cnt, m, m))
+
+
+def _sdg(lmbda, run):
+    _, doff, cnt, m = run
+    return lmbda[..., doff:doff + cnt * m].reshape(
+        lmbda.shape[:-1] + (cnt, m))
+
+
+def _put(out, off, length, val):
+    out[..., off:off + length] = val.reshape(out[..., off:off
+                                                 + length].shape)
 
 
 def _jdot(u, v):
@@ -201,54 +217,61 @@ def _jnrm2(u):
 def _np_identity(dims):
     e = np.zeros(dims.cdim)
     e[:dims.l] = 1.0
-    for k in range(len(dims.q)):
-        e[dims.qoff[k]] = 1.0
-    for k, m in enumerate(dims.s):
-        e[dims.soff[k]:dims.soff[k] + m * m] = np.eye(m).reshape(-1)
+    for off, cnt, m in dims.q_runs:
+        e[off:off + cnt * m:m] = 1.0
+    for off, _, cnt, m in dims.s_runs:
+        blk = np.zeros((cnt, m, m))
+        blk[:, np.arange(m), np.arange(m)] = 1.0
+        e[off:off + cnt * m * m] = blk.reshape(-1)
     return e
 
 
 def _np_max_step(x, dims):
     ts = [0.0]
     if dims.l:
-        ts.append(-x[..., :dims.l].min())
-    for k in range(len(dims.q)):
-        xk = _qv(x, dims, k)
-        ts.append(np.linalg.norm(xk[1:]) - xk[0])
-    for k in range(len(dims.s)):
-        ts.append(-np.linalg.eigvalsh(_sv(x, dims, k))[0])
-    return max(ts) if (dims.l or dims.q or dims.s) else 0.0
+        ts.append(-x[:dims.l].min())
+    for run in dims.q_runs:
+        xk = _qv(x, run)
+        ts.append((np.linalg.norm(xk[..., 1:], axis=-1)
+                   - xk[..., 0]).max())
+    for run in dims.s_runs:
+        ts.append(-np.linalg.eigvalsh(_sV(x, run))[..., 0].min())
+    return max(ts)
 
 
 def _np_scale(x, W, dims, trans="N", inverse="N"):
+    """NT scaling application (misc.py:30-164); broadcasts over
+    leading axes of x (used for matrices via x = M.T)."""
     out = x.copy()
     if dims.l:
         d = W["d"] if inverse == "N" else 1.0 / W["d"]
         out[..., :dims.l] = x[..., :dims.l] * d
-    for k in range(len(dims.q)):
-        off, m = dims.qoff[k], dims.q[k]
-        v, beta = W["v"][k], W["beta"][k]
-        xk = x[..., off:off + m]
+    for i, run in enumerate(dims.q_runs):
+        off, cnt, m = run
+        v, beta = W["v"][i], W["beta"][i]       # (cnt, m), (cnt,)
+        xk = _qv(x, run)
         if inverse == "N":
             w = np.sum(v * xk, -1, keepdims=True)
             Jx = np.concatenate([xk[..., :1], -xk[..., 1:]], -1)
-            new = beta * (2.0 * v * w - Jx)
+            new = beta[:, None] * (2.0 * v * w - Jx)
         else:
             t = _jdot(v, xk)[..., None]
             y = 2.0 * v * t - xk
             Jy = np.concatenate([y[..., :1], -y[..., 1:]], -1)
-            new = Jy / beta
-        out[..., off:off + m] = new
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        X = _sv(x, dims, k)
+            new = Jy / beta[:, None]
+        _put(out, off, cnt * m, new)
+    for i, run in enumerate(dims.s_runs):
+        off, _, cnt, m = run
+        X = _sV(x, run)
         if inverse == "N":
-            r = W["r"][k]
-            new = r.T @ X @ r if trans == "N" else r @ X @ r.T
+            r = W["r"][i]                        # (cnt, m, m)
+            new = (np.swapaxes(r, -1, -2) @ X @ r if trans == "N"
+                   else r @ X @ np.swapaxes(r, -1, -2))
         else:
-            rti = W["rti"][k]
-            new = rti @ X @ rti.T if trans == "N" else rti.T @ X @ rti
-        out[..., off:off + m * m] = new.reshape(x.shape[:-1] + (m * m,))
+            rti = W["rti"][i]
+            new = (rti @ X @ np.swapaxes(rti, -1, -2) if trans == "N"
+                   else np.swapaxes(rti, -1, -2) @ X @ rti)
+        _put(out, off, cnt * m * m, new)
     return out
 
 
@@ -259,28 +282,29 @@ def _np_scale2(lmbda, x, dims, inverse="N"):
             out[:dims.l] = x[:dims.l] / lmbda[:dims.l]
         else:
             out[:dims.l] = x[:dims.l] * lmbda[:dims.l]
-    for k in range(len(dims.q)):
-        off, m = dims.qoff[k], dims.q[k]
-        xk, lk = x[off:off + m], lmbda[off:off + m]
-        a = _jnrm2(lk)
+    for run in dims.q_runs:
+        off, cnt, m = run
+        xk = _qv(x, run)
+        lk = lmbda[off:off + cnt * m].reshape(cnt, m)
+        a = _jnrm2(lk)[:, None]
         lbar = lk / a
         if inverse == "N":
-            lx = float(_jdot(lbar, xk))
-            c = (lx + xk[0]) / (lbar[0] + 1.0)
-            out[off] = lx / a
-            out[off + 1:off + m] = (xk[1:] - c * lbar[1:]) / a
+            lx = _jdot(lbar, xk)[:, None]
+            c = (lx + xk[..., :1]) / (lbar[..., :1] + 1.0)
+            new = np.concatenate(
+                [lx, xk[..., 1:] - c * lbar[..., 1:]], -1) / a
         else:
-            lx = float(np.dot(lbar, xk))
-            c = (lx + xk[0]) / (lbar[0] + 1.0)
-            out[off] = lx * a
-            out[off + 1:off + m] = (xk[1:] + c * lbar[1:]) * a
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        lk = lmbda[dims.sdoff[k]:dims.sdoff[k] + m]
-        f = np.sqrt(lk[:, None] * lk[None, :])
-        X = _sv(x, dims, k)
-        out[off:off + m * m] = (X / f if inverse == "N"
-                                else X * f).reshape(-1)
+            lx = np.sum(lbar * xk, -1, keepdims=True)
+            c = (lx + xk[..., :1]) / (lbar[..., :1] + 1.0)
+            new = np.concatenate(
+                [lx, xk[..., 1:] + c * lbar[..., 1:]], -1) * a
+        _put(out, off, cnt * m, new)
+    for run in dims.s_runs:
+        off, _, cnt, m = run
+        lk = _sdg(lmbda, run)
+        f = np.sqrt(lk[:, :, None] * lk[:, None, :])
+        X = _sV(x, run)
+        _put(out, off, cnt * m * m, X / f if inverse == "N" else X * f)
     return out
 
 
@@ -289,37 +313,38 @@ def _np_compute_scaling(s, z, dims):
          "beta": [], "v": [], "r": [], "rti": []}
     lmbda = np.zeros(dims.cdim_diag)
     lmbda[:dims.l] = np.sqrt(s[:dims.l] * z[:dims.l])
-    for k in range(len(dims.q)):
-        off, m = dims.qoff[k], dims.q[k]
-        sk, zk = s[off:off + m], z[off:off + m]
-        aa, bb = _jnrm2(sk), _jnrm2(zk)
-        W["beta"].append(np.sqrt(aa / bb))
-        cc = np.sqrt((np.dot(sk, zk) / (aa * bb) + 1.0) / 2.0)
+    for run in dims.q_runs:
+        off, cnt, m = run
+        sk, zk = _qv(s, run), _qv(z, run)
+        aa = _jnrm2(sk)[:, None]
+        bb = _jnrm2(zk)[:, None]
+        W["beta"].append(np.sqrt(aa / bb)[:, 0])
+        sz = np.sum(sk * zk, -1, keepdims=True)
+        cc = np.sqrt((sz / (aa * bb) + 1.0) / 2.0)
         sbar, zbar = sk / aa, zk / bb
-        Jz = np.concatenate([zbar[:1], -zbar[1:]])
+        Jz = np.concatenate([zbar[..., :1], -zbar[..., 1:]], -1)
         v = (sbar + Jz) / (2.0 * cc)
-        v[0] += 1.0
-        v /= np.sqrt(2.0 * v[0])
+        v[:, 0] += 1.0
+        v = v / np.sqrt(2.0 * v[:, :1])
         W["v"].append(v)
-        dd = 2.0 * cc + sbar[0] + zbar[0]
-        lk = np.concatenate(
-            [[cc], ((cc + zbar[0]) / dd) * sbar[1:]
-             + ((cc + sbar[0]) / dd) * zbar[1:]]) * np.sqrt(aa * bb)
-        lmbda[off:off + m] = lk
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        Sk = s[off:off + m * m].reshape(m, m)
-        Zk = z[off:off + m * m].reshape(m, m)
+        dd = 2.0 * cc + sbar[..., :1] + zbar[..., :1]
+        l1 = ((cc + zbar[..., :1]) / dd) * sbar[..., 1:] + \
+             ((cc + sbar[..., :1]) / dd) * zbar[..., 1:]
+        lmbda[off:off + cnt * m] = (np.concatenate([cc, l1], -1)
+                                    * np.sqrt(aa * bb)).reshape(-1)
+    for run in dims.s_runs:
+        _, doff, cnt, m = run
+        Sk, Zk = _sV(s, run), _sV(z, run)
         Ls = np.linalg.cholesky(Sk)
         Lz = np.linalg.cholesky(Zk)
-        U_, lam, Vt = np.linalg.svd(Lz.T @ Ls)
-        V = Vt.T
-        r = (Ls @ V) / np.sqrt(lam)[None, :]
-        rti = sla.solve_triangular(Ls.T, V, lower=False) * \
-            np.sqrt(lam)[None, :]
+        U_, lam, Vt = np.linalg.svd(np.swapaxes(Lz, -1, -2) @ Ls)
+        V = np.swapaxes(Vt, -1, -2)
+        r = (Ls @ V) / np.sqrt(lam)[:, None, :]
+        rti = np.linalg.solve(
+            np.swapaxes(Ls, -1, -2), V) * np.sqrt(lam)[:, None, :]
         W["r"].append(r)
         W["rti"].append(rti)
-        lmbda[dims.sdoff[k]:dims.sdoff[k] + m] = lam
+        lmbda[doff:doff + cnt * m] = lam.reshape(-1)
     return W, lmbda
 
 
@@ -329,43 +354,46 @@ def _np_update_scaling(W, lmbda, s, z, dims):
     (see cvxopt_tpu.scaling.update_scaling)."""
     lnew = lmbda.copy()
     if dims.l:
-        rs = np.sqrt(s[:dims.l])
-        rz = np.sqrt(z[:dims.l])
+        rs, rz = np.sqrt(s[:dims.l]), np.sqrt(z[:dims.l])
         W["d"] = W["d"] * rs / rz
         lnew[:dims.l] = rs * rz
-    for k in range(len(dims.q)):
-        off, m = dims.qoff[k], dims.q[k]
-        v, beta = W["v"][k], W["beta"][k]
-        sk, zk = s[off:off + m], z[off:off + m]
-        aa, bb = _jnrm2(sk), _jnrm2(zk)
+    for i, run in enumerate(dims.q_runs):
+        off, cnt, m = run
+        v, beta = W["v"][i], W["beta"][i]
+        sk, zk = _qv(s, run), _qv(z, run)
+        aa = _jnrm2(sk)[:, None]
+        bb = _jnrm2(zk)[:, None]
         sbar, zbar = sk / aa, zk / bb
-        cc = np.sqrt((1.0 + np.dot(sbar, zbar)) / 2.0)
-        vs = float(np.dot(v, sbar))
-        vz = float(_jdot(v, zbar))
+        cc = np.sqrt((1.0 + np.sum(sbar * zbar, -1, keepdims=True))
+                     / 2.0)
+        vs = np.sum(v * sbar, -1, keepdims=True)
+        vz = _jdot(v, zbar)[:, None]
         vq = (vs + vz) / (2.0 * cc)
         vu = vs - vz
-        w0 = 2.0 * v[0] * vq - (sbar[0] + zbar[0]) / (2.0 * cc)
-        dd = (v[0] * vu - sbar[0] / 2.0 + zbar[0] / 2.0) / (w0 + 1.0)
-        l1 = v[1:] * (2.0 * (-dd * vq + 0.5 * vu)) + \
-            0.5 * (1.0 - dd / cc) * sbar[1:] + \
-            0.5 * (1.0 + dd / cc) * zbar[1:]
-        lnew[off:off + m] = np.concatenate([[cc], l1]) * np.sqrt(aa * bb)
-        Jsbar = np.concatenate([sbar[:1], -sbar[1:]])
+        w0 = 2.0 * v[:, :1] * vq - (sbar[:, :1] + zbar[:, :1]) / \
+            (2.0 * cc)
+        dd = (v[:, :1] * vu - sbar[:, :1] / 2.0 + zbar[:, :1] / 2.0) \
+            / (w0 + 1.0)
+        l1 = v[:, 1:] * (2.0 * (-dd * vq + 0.5 * vu)) + \
+            0.5 * (1.0 - dd / cc) * sbar[:, 1:] + \
+            0.5 * (1.0 + dd / cc) * zbar[:, 1:]
+        lnew[off:off + cnt * m] = (np.concatenate([cc, l1], -1)
+                                   * np.sqrt(aa * bb)).reshape(-1)
+        Jsbar = np.concatenate([sbar[:, :1], -sbar[:, 1:]], -1)
         vn = 2.0 * vq * v - (Jsbar + zbar) / (2.0 * cc)
-        vn[0] += 1.0
-        vn /= np.sqrt(2.0 * vn[0])
-        W["v"][k] = vn
-        W["beta"][k] = beta * np.sqrt(aa / bb)
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        Ls = _sv(s, dims, k)
-        Lz = _sv(z, dims, k)
-        U_, lam, Vt = np.linalg.svd(Lz.T @ Ls)
-        V = Vt.T
+        vn[:, 0] += 1.0
+        vn = vn / np.sqrt(2.0 * vn[:, :1])
+        W["v"][i] = vn
+        W["beta"][i] = beta * np.sqrt(aa / bb)[:, 0]
+    for i, run in enumerate(dims.s_runs):
+        _, doff, cnt, m = run
+        Ls, Lz = _sV(s, run), _sV(z, run)
+        U_, lam, Vt = np.linalg.svd(np.swapaxes(Lz, -1, -2) @ Ls)
+        V = np.swapaxes(Vt, -1, -2)
         isq = 1.0 / np.sqrt(lam)
-        W["r"][k] = (W["r"][k] @ (Ls @ V)) * isq[None, :]
-        W["rti"][k] = (W["rti"][k] @ (Lz @ U_)) * isq[None, :]
-        lnew[dims.sdoff[k]:dims.sdoff[k] + m] = lam
+        W["r"][i] = (W["r"][i] @ (Ls @ V)) * isq[:, None, :]
+        W["rti"][i] = (W["rti"][i] @ (Lz @ U_)) * isq[:, None, :]
+        lnew[doff:doff + cnt * m] = lam.reshape(-1)
     return W, lnew
 
 
@@ -373,33 +401,61 @@ def _np_sinv(bs, lmbda, dims):
     out = bs.copy()
     if dims.l:
         out[:dims.l] = bs[:dims.l] / lmbda[:dims.l]
-    for k in range(len(dims.q)):
-        off, m = dims.qoff[k], dims.q[k]
-        xk, lk = bs[off:off + m], lmbda[off:off + m]
-        aa = float(_jdot(lk, lk))
-        cc, dd = xk[0], float(np.dot(lk[1:], xk[1:]))
-        out[off] = (cc * lk[0] - dd) / aa
-        out[off + 1:off + m] = ((aa / lk[0]) * xk[1:] +
-                                (dd / lk[0] - cc) * lk[1:]) / aa
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        lk = lmbda[dims.sdoff[k]:dims.sdoff[k] + m]
-        gam = 0.5 * (lk[:, None] + lk[None, :])
-        out[off:off + m * m] = (_sv(bs, dims, k) / gam).reshape(-1)
+    for run in dims.q_runs:
+        off, cnt, m = run
+        xk = _qv(bs, run)
+        lk = lmbda[off:off + cnt * m].reshape(cnt, m)
+        aa = _jdot(lk, lk)[:, None]
+        l0 = lk[:, :1]
+        cc = xk[:, :1]
+        dd = np.sum(lk[:, 1:] * xk[:, 1:], -1, keepdims=True)
+        new = np.concatenate(
+            [cc * l0 - dd,
+             (aa / l0) * xk[:, 1:] + (dd / l0 - cc) * lk[:, 1:]],
+            -1) / aa
+        _put(out, off, cnt * m, new)
+    for run in dims.s_runs:
+        off, _, cnt, m = run
+        lk = _sdg(lmbda, run)
+        gam = 0.5 * (lk[:, :, None] + lk[:, None, :])
+        _put(out, off, cnt * m * m, _sV(bs, run) / gam)
     return out
 
 
 def _np_sprod(x, y, dims):
     out = x * y
-    for k in range(len(dims.q)):
-        off, m = dims.qoff[k], dims.q[k]
-        xk, yk = x[off:off + m], y[off:off + m]
-        out[off] = np.dot(xk, yk)
-        out[off + 1:off + m] = yk[0] * xk[1:] + xk[0] * yk[1:]
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        X, Y = _sv(x, dims, k), _sv(y, dims, k)
-        out[off:off + m * m] = (0.5 * (X @ Y + Y @ X)).reshape(-1)
+    for run in dims.q_runs:
+        off, cnt, m = run
+        xk, yk = _qv(x, run), _qv(y, run)
+        new = np.concatenate(
+            [np.sum(xk * yk, -1, keepdims=True),
+             yk[:, :1] * xk[:, 1:] + xk[:, :1] * yk[:, 1:]], -1)
+        _put(out, off, cnt * m, new)
+    for run in dims.s_runs:
+        off, _, cnt, m = run
+        X, Y = _sV(x, run), _sV(y, run)
+        _put(out, off, cnt * m * m, 0.5 * (X @ Y + Y @ X))
+    return out
+
+
+def _np_sprod_diag(lmbda, x, dims):
+    """lmbda o x with diagonal-storage lmbda (misc.py:878, diag='D')."""
+    out = x.copy()
+    nlq = dims.l + dims.qdim
+    out[:dims.l] = x[:dims.l] * lmbda[:dims.l]
+    for run in dims.q_runs:
+        off, cnt, m = run
+        xk = _qv(x, run)
+        lk = lmbda[off:off + cnt * m].reshape(cnt, m)
+        new = np.concatenate(
+            [np.sum(xk * lk, -1, keepdims=True),
+             lk[:, :1] * xk[:, 1:] + xk[:, :1] * lk[:, 1:]], -1)
+        _put(out, off, cnt * m, new)
+    for run in dims.s_runs:
+        off, _, cnt, m = run
+        lk = _sdg(lmbda, run)
+        gam = 0.5 * (lk[:, :, None] + lk[:, None, :])
+        _put(out, off, cnt * m * m, _sV(x, run) * gam)
     return out
 
 
@@ -407,15 +463,19 @@ def _np_ssqr_full(lmbda, dims):
     """lmbda o lmbda expanded to FULL (cdim) storage."""
     out = np.zeros(dims.cdim)
     out[:dims.l] = lmbda[:dims.l] ** 2
-    for k in range(len(dims.q)):
-        off, m = dims.qoff[k], dims.q[k]
-        lk = lmbda[off:off + m]
-        out[off] = np.dot(lk, lk)
-        out[off + 1:off + m] = 2.0 * lk[0] * lk[1:]
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        lk = lmbda[dims.sdoff[k]:dims.sdoff[k] + m]
-        out[off:off + m * m] = np.diag(lk ** 2).reshape(-1)
+    for run in dims.q_runs:
+        off, cnt, m = run
+        lk = lmbda[off:off + cnt * m].reshape(cnt, m)
+        new = np.concatenate(
+            [np.sum(lk * lk, -1, keepdims=True),
+             2.0 * lk[:, :1] * lk[:, 1:]], -1)
+        _put(out, off, cnt * m, new)
+    for run in dims.s_runs:
+        off, _, cnt, m = run
+        lk = _sdg(lmbda, run)
+        blk = np.zeros((cnt, m, m))
+        blk[:, np.arange(m), np.arange(m)] = lk ** 2
+        _put(out, off, cnt * m * m, blk)
     return out
 
 
@@ -423,10 +483,12 @@ def _np_diag_embed(lmbda, dims):
     out = np.zeros(dims.cdim)
     nq = dims.l + dims.qdim
     out[:nq] = lmbda[:nq]
-    for k in range(len(dims.s)):
-        off, m = dims.soff[k], dims.s[k]
-        lk = lmbda[dims.sdoff[k]:dims.sdoff[k] + m]
-        out[off:off + m * m] = np.diag(lk).reshape(-1)
+    for run in dims.s_runs:
+        off, _, cnt, m = run
+        lk = _sdg(lmbda, run)
+        blk = np.zeros((cnt, m, m))
+        blk[:, np.arange(m), np.arange(m)] = lk
+        _put(out, off, cnt * m * m, blk)
     return out
 
 
@@ -476,16 +538,18 @@ def coneqp_np_cones(P, q, G, h, dims, A=None, b=None, maxiters=100,
 
         return solve
 
-    # initial point
-    Wid = {"d": np.ones(dims.l), "beta": [np.ones(()) for _ in dims.q],
-           "v": [], "r": [], "rti": []}
-    for k, m in enumerate(dims.q):
-        v = np.zeros(m)
-        v[0] = 1.0
+    # initial point (identity scaling)
+    Wid = {"d": np.ones(dims.l), "beta": [], "v": [], "r": [],
+           "rti": []}
+    for _, cnt, m in dims.q_runs:
+        Wid["beta"].append(np.ones(cnt))
+        v = np.zeros((cnt, m))
+        v[:, 0] = 1.0
         Wid["v"].append(v)
-    for m in dims.s:
-        Wid["r"].append(np.eye(m))
-        Wid["rti"].append(np.eye(m))
+    for _, _, cnt, m in dims.s_runs:
+        Wid["r"].append(np.broadcast_to(np.eye(m), (cnt, m, m)).copy())
+        Wid["rti"].append(np.broadcast_to(np.eye(m),
+                                          (cnt, m, m)).copy())
     f0 = factor(Wid)
     x, y, z = f0(-q, b, h)
     s = -z
@@ -540,9 +604,7 @@ def coneqp_np_cones(P, q, G, h, dims, A=None, b=None, maxiters=100,
                 vx = bx - P @ ux - A.T @ uy - G.T @ wz3
                 vy = by_ - A @ ux
                 vz = bz - G @ ux - _np_scale(us, W, dims, trans="T")
-                lam_us_uz = _np_sprod(
-                    _np_diag_embed(lmbda, dims), us + uz, dims)
-                vs = bs - lam_us_uz
+                vs = bs - _np_sprod_diag(lmbda, us + uz, dims)
                 du = f4_no_ir(vx, vy, vz, vs)
                 u = tuple(a + d for a, d in zip(u, du))
             return u
@@ -566,27 +628,26 @@ def coneqp_np_cones(P, q, G, h, dims, A=None, b=None, maxiters=100,
         dz_sc = _np_scale2(lmbda, dz, dims)
         # eigendecompose the 's' blocks for the scaling update
         sigs, sigz = [], []
-        for k in range(len(dims.s)):
-            off, m = dims.soff[k], dims.s[k]
-            w_, V_ = np.linalg.eigh(_sv(ds_sc, dims, k))
+        for run in dims.s_runs:
+            off, _, cnt, m = run
+            w_, V_ = np.linalg.eigh(_sV(ds_sc, run))
             sigs.append(w_)
-            ds_sc[off:off + m * m] = V_.reshape(-1)
-            w_, V_ = np.linalg.eigh(_sv(dz_sc, dims, k))
+            _put(ds_sc, off, cnt * m * m, V_)
+            w_, V_ = np.linalg.eigh(_sV(dz_sc, run))
             sigz.append(w_)
-            dz_sc[off:off + m * m] = V_.reshape(-1)
+            _put(dz_sc, off, cnt * m * m, V_)
         tcands = [0.0]
-        # max_step over l/q parts of the scaled directions
         if dims.l:
             tcands.append(-ds_sc[:dims.l].min())
             tcands.append(-dz_sc[:dims.l].min())
-        for k in range(len(dims.q)):
-            xk = _qv(ds_sc, dims, k)
-            tcands.append(np.linalg.norm(xk[1:]) - xk[0])
-            xk = _qv(dz_sc, dims, k)
-            tcands.append(np.linalg.norm(xk[1:]) - xk[0])
-        for k in range(len(dims.s)):
-            tcands.append(-sigs[k][0])
-            tcands.append(-sigz[k][0])
+        for run in dims.q_runs:
+            for u in (ds_sc, dz_sc):
+                xk = _qv(u, run)
+                tcands.append((np.linalg.norm(xk[:, 1:], axis=-1)
+                               - xk[:, 0]).max())
+        for k in range(len(dims.s_runs)):
+            tcands.append(-sigs[k][:, 0].min())
+            tcands.append(-sigz[k][:, 0].min())
         t = max(tcands)
         step = 1.0 if t == 0 else min(1.0, 0.99 / t)
 
@@ -598,15 +659,15 @@ def coneqp_np_cones(P, q, G, h, dims, A=None, b=None, maxiters=100,
         dz2[:nlq] = e[:nlq] + step * dz_sc[:nlq]
         ds2 = _np_scale2(lmbda, ds2, dims, inverse="I")
         dz2 = _np_scale2(lmbda, dz2, dims, inverse="I")
-        for k in range(len(dims.s)):
-            off, m = dims.soff[k], dims.s[k]
-            lk = lmbda[dims.sdoff[k]:dims.sdoff[k] + m]
+        for k, run in enumerate(dims.s_runs):
+            off, _, cnt, m = run
+            lk = _sdg(lmbda, run)
             cs = np.sqrt((1.0 + step * sigs[k]) / lk)
             cz = np.sqrt((1.0 + step * sigz[k]) / lk)
-            ds2[off:off + m * m] = (_sv(ds2, dims, k)
-                                    * cs[None, :]).reshape(-1)
-            dz2[off:off + m * m] = (_sv(dz2, dims, k)
-                                    * cz[None, :]).reshape(-1)
+            _put(ds2, off, cnt * m * m,
+                 _sV(ds2, run) * cs[:, None, :])
+            _put(dz2, off, cnt * m * m,
+                 _sV(dz2, run) * cz[:, None, :])
         W, lmbda = _np_update_scaling(W, lmbda, ds2, dz2, dims)
         lam_full = _np_diag_embed(lmbda, dims)
         s = _np_scale(lam_full, W, dims, trans="T")
