@@ -27,10 +27,12 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 from jax import lax
 
 __all__ = [
-    "pbtrf", "pbtrs", "pbsv", "pttrf", "pttrs", "ptsv",
+    "pbtrf", "pbtrs", "pbsv", "pbtrf_blocked", "pbtrs_blocked",
+    "pttrf", "pttrs", "ptsv",
     "gtsv", "gttrf", "gttrs", "tbtrs", "gbsv", "gbtrf", "gbtrs",
     "band_to_dense", "dense_to_band",
 ]
@@ -115,6 +117,108 @@ def pbtrf(AB, dbound: float = 0.0):
 
     _, cols = lax.scan(step, W0, Rin[:n])
     return cols.T                          # (kd+1, n)
+
+
+def _band_blocks(AB, cb):
+    """Band (kd+1, n) lower storage -> block-tridiagonal dense blocks:
+    D (nb, cb, cb) symmetric diagonal blocks and E (nb, cb, cb)
+    subdiagonal blocks (E[i] couples block i+1 to block i; E[nb-1] is
+    zero).  n is padded to nb*cb with unit diagonal."""
+    kdp1, n = AB.shape
+    kd = kdp1 - 1
+    nb = -(-n // cb)
+    npad = nb * cb
+    # padded flat accessor: A[p, q] = AB[p-q, q] for 0 <= p-q <= kd
+    ABp = jnp.pad(AB, ((0, 0), (0, npad - n)))
+    # unit diagonal on the padding keeps the padded matrix PD
+    if npad > n:
+        ABp = ABp.at[0, n:].set(1.0)
+
+    i = jnp.arange(nb)[:, None, None]
+    r = jnp.arange(cb)[None, :, None]
+    c = jnp.arange(cb)[None, None, :]
+    # D[i][r, c] = A[i*cb + r, i*cb + c]  (lower: d = r - c in [0, kd])
+    d = r - c
+    q = i * cb + c
+    Dl = jnp.where((d >= 0) & (d <= kd),
+                   ABp[jnp.clip(d, 0, kd), q], 0.0)
+    D = Dl + jnp.swapaxes(jnp.tril(Dl, -1), -1, -2)
+    # E[i][r, c] = A[(i+1)*cb + r, i*cb + c]  (d = cb + r - c)
+    dE = cb + r - c
+    E = jnp.where((dE >= 0) & (dE <= kd),
+                  ABp[jnp.clip(dE, 0, kd), q], 0.0)
+    E = E.at[nb - 1].set(0.0)
+    return D, E
+
+
+def pbtrf_blocked(AB, cb: int = 128, dbound: float = 0.0):
+    """Block-panel banded Cholesky for TPU: the band is viewed as a
+    block-tridiagonal matrix with cb >= kd dense (cb, cb) blocks, and
+    factored by a `lax.scan` over n/cb panels of dense MXU work
+    (cholesky + triangular solve + syrk per panel) instead of the n
+    scalar-window steps of `pbtrf`.  Same O(n) scan depth reduction
+    that makes CHOLMOD supernodal (reference cholmod.c:364): n/cb
+    sequential steps instead of n.
+
+    Returns (Ls, Cs): the block-bidiagonal Cholesky factor with
+    diagonal blocks Ls (nb, cb, cb) lower-triangular and subdiagonal
+    blocks Cs (nb, cb, cb) (Cs[i] couples block i+1; Cs[nb-1] unused).
+    Solve with `pbtrs_blocked`.  NaN blocks signal a non-PD pivot."""
+    kdp1, n = AB.shape
+    kd = kdp1 - 1
+    if cb < kd:
+        raise ValueError(f"cb ({cb}) must be >= bandwidth kd ({kd})")
+    D, E = _band_blocks(AB, cb)
+    if dbound > 0:
+        idx = jnp.arange(cb)
+        D = D.at[:, idx, idx].set(
+            jnp.maximum(D[:, idx, idx], dbound))
+
+    def step(Cprev, DE):
+        Di, Ei = DE
+        S = Di - Cprev @ Cprev.T
+        L = jnp.linalg.cholesky(S)
+        # C_i = E_i L_i^{-T} = (L_i^{-1} E_i')'
+        C = jsl.solve_triangular(L, Ei.T, lower=True).T
+        return C, (L, C)
+
+    C0 = jnp.zeros((cb, cb), AB.dtype)
+    _, (Ls, Cs) = lax.scan(step, C0, (D, E))
+    return Ls, Cs
+
+
+def pbtrs_blocked(fac, B):
+    """Solve L L' x = B with (Ls, Cs) from `pbtrf_blocked`.
+    B: (n,) or (n, nrhs) — n may be shorter than nb*cb (padded)."""
+    Ls, Cs = fac
+    nb, cb, _ = Ls.shape
+    vec = B.ndim == 1
+    Bm = B[:, None] if vec else B
+    n, nrhs = Bm.shape
+    npad = nb * cb
+    Bp = jnp.pad(Bm, ((0, npad - n), (0, 0))).reshape(nb, cb, nrhs)
+
+    # forward: y_i = L_i^{-1} (b_i - C_{i-1} y_{i-1})
+    def fwd(carry, x):
+        yprev, Cprev = carry
+        Li, Ci, bi = x
+        yi = jsl.solve_triangular(Li, bi - Cprev @ yprev, lower=True)
+        return (yi, Ci), yi
+
+    z = jnp.zeros((cb, nrhs), Bm.dtype)
+    _, y = lax.scan(fwd, (z, jnp.zeros((cb, cb), Bm.dtype)),
+                    (Ls, Cs, Bp))
+
+    # backward: x_i = L_i^{-T} (y_i - C_i' x_{i+1})
+    def bwd(xnext, x):
+        Li, Ci, yi = x
+        xi = jsl.solve_triangular(Li.T, yi - Ci.T @ xnext,
+                                  lower=False)
+        return xi, xi
+
+    _, xr = lax.scan(bwd, z, (Ls[::-1], Cs[::-1], y[::-1]))
+    x = xr[::-1].reshape(npad, nrhs)[:n]
+    return x[:, 0] if vec else x
 
 
 def pbtrs(LB, B):

@@ -34,6 +34,7 @@ from typing import Optional
 import numpy as np
 import scipy.sparse as sp
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -185,7 +186,8 @@ def assemble_band(plan: BandPlan, wrow):
 # ---------------------------------------------------------------------
 
 def kkt_chol2_banded(G_sp, dims, A=None, P_sp=None,
-                     dtype=jnp.float64):
+                     dtype=jnp.float64, method="auto",
+                     factor_dtype=None, cb=None):
     """Custom kktsolver exploiting sparsity of G (and optionally P) for
     'l'-cone problems: factor cost O(n kd^2) instead of O(n^3).
 
@@ -197,15 +199,28 @@ def kkt_chol2_banded(G_sp, dims, A=None, P_sp=None,
     (W) -> solve(bx, by, bz) -> (ux, uy, W uz) (misc.py:1069-1071);
     for coneqp pass the P term via P_sp at build time (the factor
     then matches factor(W, P)).
-    """
+
+    ``method``: 'scan' runs the per-row `banded.pbtrf` recurrence (n
+    sequential steps — fine on CPU); 'blocked' runs the block-panel
+    `banded.pbtrf_blocked` (n/cb dense-MXU panels — the TPU path);
+    'auto' picks by backend.  ``factor_dtype`` (e.g. jnp.float32)
+    factors a Jacobi-equilibrated band in reduced precision — pair
+    with solver-level iterative refinement (options['refinement']) on
+    TPU, where f64 is emulated."""
     if getattr(dims, "q", ()) or getattr(dims, "s", ()):
         raise ValueError("kkt_chol2_banded supports 'l' cones only "
                          "(like the reference's sparse kkt_chol2)")
     plan = make_band_plan(G_sp, P_sp=P_sp, dtype=dtype)
     n = plan.n
+    kd = plan.kd
     perm = jnp.asarray(plan.perm)
     inv = jnp.asarray(np.argsort(plan.perm))
     G = plan.G
+    if method == "auto":
+        method = "blocked" if jax.default_backend() != "cpu" \
+            else "scan"
+    if cb is None:
+        cb = max(128, -(-kd // 8) * 8)
     if A is not None and getattr(A, "shape", (0,))[0]:
         A = jnp.asarray(A, dtype) if not hasattr(A, "todense") \
             else jnp.asarray(np.asarray(A.todense()), dtype)
@@ -218,15 +233,45 @@ def kkt_chol2_banded(G_sp, dims, A=None, P_sp=None,
         di = W["di"]
         wrow = di * di                       # W^{-2} row weights
         band = assemble_band(plan, wrow.astype(dtype))
-        LB = banded.pbtrf(band)
+        if factor_dtype is not None:
+            # Jacobi (van-der-Sluis) equilibration of the band:
+            # Se = Dq S Dq, Dq = diag(S)^{-1/2} — band[j, i] holds
+            # A[i+j, i], so it scales by deq[i+j]*deq[i]
+            deq = jax.lax.rsqrt(jnp.maximum(
+                band[0], jnp.asarray(1e-300, band.dtype)))
+            jj = np.arange(kd + 1)[:, None]
+            ii = np.arange(n)[None, :]
+            ipj = np.minimum(ii + jj, n - 1)
+            bandF = (band * deq[ipj] * deq[None, :]).astype(
+                factor_dtype)
+        else:
+            deq = None
+            bandF = band
+        if method == "blocked":
+            fac = banded.pbtrf_blocked(bandF, cb=cb)
+            solve_band = lambda v: banded.pbtrs_blocked(fac, v)
+        else:
+            LB = banded.pbtrf(bandF)
+            solve_band = lambda v: banded.pbtrs(LB, v)
 
         def Sinv(v):                         # v in ORIGINAL indexing
             vp = v[perm] if v.ndim == 1 else v[perm, :]
-            t = banded.pbtrs(LB, vp)
+            if deq is not None:
+                vp = (deq * vp if vp.ndim == 1
+                      else deq[:, None] * vp).astype(bandF.dtype)
+            t = solve_band(vp)
+            if deq is not None:
+                t = t.astype(band.dtype)
+                t = deq * t if t.ndim == 1 else deq[:, None] * t
             return t[inv] if t.ndim == 1 else t[inv, :]
 
         if p:
-            SiAT = banded.pbtrs(LB, Aperm.T)          # (n, p) permuted
+            rhs = Aperm.T                             # (n, p) permuted
+            if deq is not None:
+                rhs = (deq[:, None] * rhs).astype(bandF.dtype)
+            SiAT = solve_band(rhs)
+            if deq is not None:
+                SiAT = deq[:, None] * SiAT.astype(band.dtype)
             K = Aperm @ SiAT
             Lk = jnp.linalg.cholesky(K)
 

@@ -109,3 +109,67 @@ def test_exported_from_lapack():
     from cvxopt_tpu.ops import lapack
     for name in ("pbtrf", "pttrf", "gtsv", "tbtrs", "gbsv"):
         assert hasattr(lapack, name)
+
+
+def test_pbtrf_blocked_matches_dense():
+    """Block-panel banded Cholesky (the TPU path: n/cb dense panels
+    instead of n scalar scan steps) vs dense solve."""
+    import jax.numpy as jnp
+    from cvxopt_tpu.ops import banded
+    rng = np.random.default_rng(0)
+    for n, kd, cb in ((50, 3, 8), (100, 5, 16), (37, 4, 8)):
+        A = np.zeros((n, n))
+        for j in range(kd + 1):
+            d = rng.standard_normal(n - j) * 0.3
+            A += np.diag(d, -j) + (np.diag(d, j) if j else 0)
+        A += np.eye(n) * (kd + 2.0)
+        AB = np.stack([np.pad(np.diagonal(A, -j), (0, j))
+                       for j in range(kd + 1)])
+        fac = banded.pbtrf_blocked(jnp.asarray(AB), cb=cb)
+        b = rng.standard_normal(n)
+        x = banded.pbtrs_blocked(fac, jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   atol=1e-10)
+        B = rng.standard_normal((n, 3))
+        X = banded.pbtrs_blocked(fac, jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(X),
+                                   np.linalg.solve(A, B), atol=1e-10)
+
+
+def test_sparse_lp_blocked_method():
+    """lp_sparse through the blocked banded kktsolver gives the same
+    answer as the scan path."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from cvxopt_tpu.ops.sparse_kkt import kkt_chol2_banded, _as_ops
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu import solvers
+    n = 300
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal(n) * 0.1
+    rows, cols, vals, h = [], [], [], []
+    r = 0
+    for i in range(n):
+        rows += [r, r + 1]
+        cols += [i, i]
+        vals += [-1.0, 1.0]
+        h += [0.0, 1.0]
+        r += 2
+    for i in range(n - 1):
+        rows += [r, r, r + 1, r + 1]
+        cols += [i, i + 1, i, i + 1]
+        vals += [1.0, -1.0, -1.0, 1.0]
+        h += [0.5, 0.5]
+        r += 2
+    G = sp.coo_matrix((vals, (rows, cols)), shape=(r, n)).tocsr()
+    Gop = _as_ops(G, jnp.float64)
+    outs = []
+    for method in ("scan", "blocked"):
+        kkt = kkt_chol2_banded(G, ConeDims(l=r), method=method)
+        sol = solvers.conelp(jnp.asarray(c), Gop,
+                             jnp.asarray(np.asarray(h)),
+                             dims=ConeDims(l=r), kktsolver=kkt,
+                             options={"maxiters": 30})
+        assert sol["status"] == "optimal"
+        outs.append(np.asarray(sol["x"]))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
