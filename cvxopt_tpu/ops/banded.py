@@ -384,6 +384,95 @@ def gttrs(fac, B, trans="N"):
     return gtsv(du, d, dl, B)              # A' is tridiagonal too
 
 
+# ---- scan-based pivoted banded LU (gbtrf_scan / gbtrs_scan) ------------
+
+def _gb_entry(AB, kl, ku, r, c, n):
+    """A[r, c] from LAPACK general band storage AB[ku+r-c, c], with 0
+    outside the band / matrix and unit diagonal on pad rows r >= n."""
+    d = r - c
+    inband = (d >= -ku) & (d <= kl) & (c >= 0) & (c < n) & (r >= 0)
+    vals = AB[jnp.clip(ku + d, 0, kl + ku), jnp.clip(c, 0, n - 1)]
+    vals = jnp.where(inband & (r < n), vals, 0.0)
+    return jnp.where((r >= n) & (r == c), 1.0, vals)
+
+
+def gbtrf_scan(AB, kl, ku):
+    """Banded LU with partial pivoting as a `lax.scan` over columns —
+    the O(n (kl+ku)^2) structured path behind the umfpack API for
+    banded (after-RCM) patterns (reference gbtrf, lapack.c; the dense
+    fallback lives in `gbtrf`).  Pivoting is LAPACK's: restricted to
+    the kl+1 candidate rows of each column, U's bandwidth grows to
+    kl+ku.
+
+    AB: (kl+ku+1, n) general band storage, AB[ku + i - j, j] = A[i,j].
+    Returns (Urows, Lcols, piv): U[j, j:j+kl+ku+1] per row, the kl
+    multipliers L[j+1:j+kl+1, j], and the chosen pivot offset in
+    [0, kl] per column.  Zero pivots surface as inf/NaN."""
+    n = AB.shape[1]
+    w = kl + ku + 1
+    r = jnp.arange(kl + 1)[:, None]
+    c = jnp.arange(w)[None, :]
+    W0 = _gb_entry(AB, kl, ku, r, c, n)          # rows 0..kl, cols 0..w-1
+
+    # incoming rows: step j appends row j+kl+1 over cols j+1..j+w
+    j = jnp.arange(n)[:, None]
+    cc = jnp.arange(w)[None, :]
+    Rin = _gb_entry(AB, kl, ku, j + kl + 1, j + 1 + cc, n)   # (n, w)
+
+    def step(W, rnew):
+        p = jnp.argmax(jnp.abs(W[:, 0]))
+        Wp = W[p]
+        W = W.at[p].set(W[0]).at[0].set(Wp)      # swap rows 0 <-> p
+        m = W[1:, 0] / W[0, 0]
+        Wn = W[1:, :] - m[:, None] * W[0:1, :]
+        Wn = jnp.concatenate([Wn[:, 1:],
+                              jnp.zeros((kl, 1), W.dtype)], axis=1)
+        Wn = jnp.concatenate([Wn, rnew[None, :]], axis=0)
+        return Wn, (W[0], m, p.astype(jnp.int32))
+
+    _, (Urows, Lcols, piv) = lax.scan(step, W0, Rin)
+    return Urows, Lcols, piv
+
+
+def gbtrs_scan(fac, B, kl, ku):
+    """Solve with a `gbtrf_scan` factor.  B: (n,) or (n, nrhs)."""
+    Urows, Lcols, piv = fac
+    n = Urows.shape[0]
+    w = kl + ku + 1
+    vec = B.ndim == 1
+    Bm = B[:, None] if vec else B
+    nrhs = Bm.shape[1]
+
+    # forward: replay swaps + eliminations on a sliding (kl+1) window
+    Bpad = jnp.concatenate(
+        [Bm, jnp.zeros((kl + 1, nrhs), Bm.dtype)], axis=0)
+
+    def fwd(carry, x):
+        v = carry                                # (kl+1, nrhs)
+        m, p, bnew = x
+        vp = v[p]
+        v = v.at[p].set(v[0]).at[0].set(vp)
+        y = v[0]
+        vn = v[1:] - m[:, None] * y[None, :]
+        vn = jnp.concatenate([vn, bnew[None, :]], axis=0)
+        return vn, y
+
+    v0 = Bpad[: kl + 1]
+    _, y = lax.scan(fwd, v0, (Lcols, piv, Bpad[kl + 1: kl + 1 + n]))
+
+    # backward: x_j = (y_j - U[j, j+1:] x) / U[j, j]
+    def bwd(carry, x):
+        xs = carry                               # (w-1, nrhs): x_{j+1..}
+        urow, yj = x
+        xj = (yj - urow[1:] @ xs) / urow[0]
+        return jnp.concatenate([xj[None], xs[:-1]], axis=0), xj
+
+    c0 = jnp.zeros((w - 1, nrhs), Bm.dtype)
+    _, xr = lax.scan(bwd, c0, (Urows[::-1], y[::-1]))
+    x = xr[::-1]
+    return x[:, 0] if vec else x
+
+
 # ---- banded triangular / general band (tb*, gb*) -----------------------
 
 def tbtrs(AB, B, uplo="L", trans="N"):

@@ -208,27 +208,92 @@ def getfactor(F: CholFactor):
 @dataclass
 class LUSymbolic:
     n: int
+    perm: Optional[np.ndarray] = None    # banded path: RCM ordering
+    kl: int = 0
+    ku: int = 0
+    banded: bool = False
 
 
 @dataclass
 class LUFactor:
-    lu: jnp.ndarray
-    piv: jnp.ndarray
+    lu: object                  # (lu, piv) dense OR gbtrf_scan factor
+    piv: object
+    symb: Optional[LUSymbolic] = None
+    ABT: Optional[jnp.ndarray] = None   # banded: A' band for trans='T'
+    facT: Optional[object] = None
+
+
+def _band_widths(S, perm):
+    import scipy.sparse as sp
+    pos = np.argsort(perm)
+    coo = sp.coo_matrix(S)
+    if not coo.nnz:
+        return 0, 0
+    d = pos[coo.row] - pos[coo.col]
+    return int(max(d.max(), 0)), int(max((-d).max(), 0))
 
 
 def lu_symbolic(A) -> LUSymbolic:
-    """umfpack.symbolic (umfpack.c:270)."""
+    """umfpack.symbolic (umfpack.c:270).
+
+    Sparse inputs get a REAL sparse analysis: an RCM ordering of the
+    symmetrized pattern; when the permuted matrix is banded the
+    numeric phase runs the O(n (kl+ku)^2) scan-based pivoted banded
+    LU (ops/banded.gbtrf_scan) instead of densifying — UMFPACK's
+    multifrontal role for structured patterns
+    (umfpack.c:121-461)."""
+    if _is_sparse_input(A):
+        from cvxopt_tpu.ops.sparse_kkt import rcm_order
+        S = _to_scipy(A)
+        n = S.shape[0]
+        perm = rcm_order((S + S.T) != 0)
+        kl, ku = _band_widths(S != 0, perm)
+        # the banded path wins when the band volume beats dense
+        banded = (kl + ku + 2) * 4 < n
+        if options.get("print", 0):
+            print(f"cvxopt_tpu.spsolve(lu): n={n} kl={kl} ku={ku} "
+                  f"banded={banded}")
+        return LUSymbolic(n=n, perm=perm, kl=kl, ku=ku, banded=banded)
     return LUSymbolic(n=_dense(A).shape[-1])
+
+
+def _to_gb_storage(S, perm, kl, ku):
+    import scipy.sparse as sp
+    n = S.shape[0]
+    Spp = sp.coo_matrix(sp.csr_matrix(S)[perm][:, perm])
+    AB = np.zeros((kl + ku + 1, n))
+    AB[ku + Spp.row - Spp.col, Spp.col] = Spp.data
+    return jnp.asarray(AB)
 
 
 def lu_numeric(A, symb: LUSymbolic) -> LUFactor:
     """umfpack.numeric (umfpack.c:344)."""
+    from cvxopt_tpu.ops import banded as bnd
+    if symb.banded:
+        S = _to_scipy(A)
+        AB = _to_gb_storage(S, symb.perm, symb.kl, symb.ku)
+        fac = bnd.gbtrf_scan(AB, symb.kl, symb.ku)
+        # A' under the same permutation is (ku, kl)-banded
+        ABT = _to_gb_storage(S.T, symb.perm, symb.ku, symb.kl)
+        facT = bnd.gbtrf_scan(ABT, symb.ku, symb.kl)
+        return LUFactor(lu=fac, piv=None, symb=symb, facT=facT)
     lu, piv = jsl.lu_factor(_dense(A))
     return LUFactor(lu=lu, piv=piv)
 
 
 def lu_solve(F: LUFactor, B, trans="N"):
     """umfpack.solve (umfpack.c:461)."""
+    if F.symb is not None and F.symb.banded:
+        from cvxopt_tpu.ops import banded as bnd
+        symb = F.symb
+        perm, inv = symb.perm, np.argsort(symb.perm)
+        B = _dense(B)
+        Bp = B[perm] if B.ndim == 1 else B[perm, :]
+        if trans == "N":
+            X = bnd.gbtrs_scan(F.lu, Bp, symb.kl, symb.ku)
+        else:
+            X = bnd.gbtrs_scan(F.facT, Bp, symb.ku, symb.kl)
+        return X[inv] if X.ndim == 1 else X[inv, :]
     t = {"N": 0, "T": 1, "C": 2}[trans]
     return jsl.lu_solve((F.lu, F.piv), _dense(B), trans=t)
 
