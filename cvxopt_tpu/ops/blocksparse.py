@@ -1,0 +1,334 @@
+"""Block-sparse (tile-map) Cholesky — general sparsity beyond bands.
+
+The banded path (ops/sparse_kkt, ops/banded) covers patterns RCM can
+band; patterns it cannot (arrow heads, nested-dissection fill,
+power-law graphs) previously fell back to dense O(n^3).  This module
+is the TPU-native analogue of CHOLMOD's supernodal factorization
+(/root/reference/src/C/cholmod.c:273-969): the fill-reducing-ordered
+matrix is tiled into (t, t) blocks, the BLOCK fill pattern is computed
+once on the host (symbolic phase), and the numeric factorization runs
+as a `lax.scan` over block-columns whose per-step work — the
+left-looking update sum, the diagonal Cholesky, the off-diagonal
+triangular solves — is a fixed-size batch of dense (t, t) MXU matmuls
+driven by static padded task tables.  Sequential depth is n/t (like
+the supernodal elimination tree height bound), not n.
+
+Storage: L as a slot table (nnzb + 1, t, t) over the block fill
+pattern; slot nnzb is an all-zero dummy that padded task entries
+gather from / scatter to (scatter-adds of zeros are no-ops).
+
+All numeric work is jit-compatible; the symbolic phase (ordering +
+block fill + task tables) is host-side preprocessing, exactly as in
+the reference where AMD/CHOLMOD-analyze run on the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+from jax import lax
+
+
+@dataclass
+class BlockSymbolic:
+    """Host-side symbolic analysis of a tiled SPD pattern."""
+    n: int                    # original dimension
+    t: int                    # tile size
+    nt: int                   # number of block rows/cols (padded)
+    perm: np.ndarray          # fill-reducing ordering (new -> old)
+    nnzb: int                 # blocks in the L pattern (incl. fill)
+    # per-block-column tables, padded to fixed widths:
+    col_slots: np.ndarray     # (nt, rmax) slot of block (i, k); pad=nnzb
+    col_rows: np.ndarray      # (nt, rmax) block-row index i; pad=nt
+    upd_dst: np.ndarray       # (nt, umax) destination position in col
+    upd_src1: np.ndarray      # (nt, umax) slot of L[i, j]
+    upd_src2: np.ndarray      # (nt, umax) slot of L[k, j]
+    row_slots: np.ndarray     # (nt, wmax) slot of L[k, j], j < k
+    row_js: np.ndarray        # (nt, wmax) block-col j; pad=nt
+    # scatter plan for numeric assembly of A blocks:
+    a_slot: jnp.ndarray       # (nnz,) slot*t*t + local offset (or OOB)
+    fill_frac: float = 0.0    # diagnostic: block fill / block nnz
+
+
+def analyze(S, t: int = 32, perm: Optional[np.ndarray] = None
+            ) -> BlockSymbolic:
+    """Symbolic phase: ordering + block fill + static task tables.
+
+    S: scipy sparse SPD pattern/matrix (values ignored).  `perm`
+    overrides the ordering (default: AMD-style minimum degree from
+    spsolve.amd_order — the reference's ordering for CHOLMOD)."""
+    S = sp.csr_matrix(S)
+    n = S.shape[0]
+    if perm is None:
+        from cvxopt_tpu.ops.spsolve import amd_order
+        perm = np.asarray(amd_order((S + S.T) != 0))
+    pos = np.argsort(perm)
+    nt = -(-n // t)
+
+    coo = sp.coo_matrix(S)
+    bi = pos[coo.row] // t
+    bj = pos[coo.col] // t
+    # block pattern of the permuted matrix (lower part, incl. diagonal)
+    blocks = set(zip(np.minimum(bi, bj).tolist(),
+                     np.maximum(bi, bj).tolist()))
+    adj = [set() for _ in range(nt)]
+    for a, b in blocks:
+        if a != b:
+            adj[a].add(b)
+    for k in range(nt):
+        adj[k].add(k)        # padded diagonals must exist
+
+    # symbolic block Cholesky: neighbors > k of k become a clique
+    Lcols = []
+    for k in range(nt):
+        nb = sorted(i for i in adj[k] if i > k)
+        Lcols.append([k] + nb)
+        for ix, i in enumerate(nb):
+            adj[i].update(j for j in nb[ix + 1:])
+
+    # slot numbering (column-major over the block pattern)
+    slot = {}
+    for k in range(nt):
+        for i in Lcols[k]:
+            slot[(i, k)] = len(slot)
+    nnzb = len(slot)
+
+    rmax = max(len(c) for c in Lcols)
+    col_slots = np.full((nt, rmax), nnzb, np.int32)
+    col_rows = np.full((nt, rmax), nt, np.int32)
+    for k in range(nt):
+        for ix, i in enumerate(Lcols[k]):
+            col_slots[k, ix] = slot[(i, k)]
+            col_rows[k, ix] = i
+
+    # row structure: L[k, j] for j < k (needed for updates + fwd solve)
+    rowpat = [[] for _ in range(nt)]
+    for k in range(nt):
+        for i in Lcols[k][1:]:
+            rowpat[i].append(k)
+    wmax = max((len(r) for r in rowpat), default=0) or 1
+    row_slots = np.full((nt, wmax), nnzb, np.int32)
+    row_js = np.full((nt, wmax), nt, np.int32)
+    for k in range(nt):
+        for ix, j in enumerate(rowpat[k]):
+            row_slots[k, ix] = slot[(k, j)]
+            row_js[k, ix] = j
+
+    # update tasks for column k: for j in rowpat[k], for i in
+    # Lcols[j] with i >= k: dest (i, k) -= L[i, j] @ L[k, j]'
+    pos_in_col = {}
+    for k in range(nt):
+        for ix, i in enumerate(Lcols[k]):
+            pos_in_col[(i, k)] = ix
+    tasks = [[] for _ in range(nt)]
+    for j in range(nt):
+        cj = Lcols[j]
+        for a in range(1, len(cj)):
+            k = cj[a]
+            for b in range(a, len(cj)):
+                i = cj[b]
+                tasks[k].append((pos_in_col[(i, k)],
+                                 slot[(i, j)], slot[(k, j)]))
+    umax = max((len(ta) for ta in tasks), default=0) or 1
+    upd_dst = np.full((nt, umax), rmax, np.int32)      # pad row slot
+    upd_src1 = np.full((nt, umax), nnzb, np.int32)
+    upd_src2 = np.full((nt, umax), nnzb, np.int32)
+    for k in range(nt):
+        for ix, (d, s1, s2) in enumerate(tasks[k]):
+            upd_dst[k, ix] = d
+            upd_src1[k, ix] = s1
+            upd_src2[k, ix] = s2
+
+    # numeric-assembly scatter plan: PERMUTED-lower entries (r >= c)
+    # land in slot[(r//t, c//t)] at local (r%t, c%t); permuted-upper
+    # entries are dropped (S must store both triangles — the lower
+    # half in the permuted order draws from both original triangles)
+    pr, pc = pos[coo.row], pos[coo.col]
+    lowmask = pr >= pc
+    r2, c2 = pr[lowmask], pc[lowmask]
+    sl = np.array([slot[(a, b)] for a, b in zip(r2 // t, c2 // t)],
+                  np.int64)
+    a_slot = np.full((coo.nnz,), (nnzb + 1) * t * t, np.int64)
+    a_slot[lowmask] = sl * t * t + (r2 % t) * t + (c2 % t)
+    nb_orig = len(blocks)
+    return BlockSymbolic(
+        n=n, t=t, nt=nt, perm=perm, nnzb=nnzb,
+        col_slots=col_slots, col_rows=col_rows,
+        upd_dst=upd_dst, upd_src1=upd_src1, upd_src2=upd_src2,
+        row_slots=row_slots, row_js=row_js,
+        a_slot=jnp.asarray(a_slot),
+        fill_frac=nnzb / max(nb_orig, 1))
+
+
+def assemble(symb: BlockSymbolic, S) -> jnp.ndarray:
+    """Numeric assembly: scatter the (permuted, lower) values of S into
+    the slot table (nnzb + 1, t, t).  Fixed pattern — under jit this is
+    one scatter-add (the `partial=True` analogue).  Off-block-diagonal
+    entries appearing in both triangles scatter once (lower only);
+    diagonal blocks receive their strictly-upper entries mirrored."""
+    S = sp.csr_matrix(S)
+    coo = sp.coo_matrix(S)
+    t, nnzb = symb.t, symb.nnzb
+    vals = jnp.asarray(coo.data)
+    A = jnp.zeros(((nnzb + 1) * t * t,), vals.dtype)
+    # permuted-upper entries carry an out-of-bounds index (mode=drop)
+    A = A.at[symb.a_slot].add(vals, mode="drop")
+    A = A.reshape(nnzb + 1, t, t)
+    # unit diagonal on padding (rows beyond n)
+    npad = symb.nt * t - symb.n
+    if npad:
+        k_last = symb.nt - 1
+        dslot = int(symb.col_slots[k_last, 0])
+        idx = np.arange(symb.n - k_last * t, t)
+        A = A.at[dslot, idx, idx].set(1.0)
+    return A
+
+
+def _slot_lookup(symb: BlockSymbolic) -> dict:
+    d = {}
+    for k in range(symb.nt):
+        for ix in range(symb.col_slots.shape[1]):
+            i = int(symb.col_rows[k, ix])
+            if i < symb.nt:
+                d[(i, k)] = int(symb.col_slots[k, ix])
+    return d
+
+
+def assemble_scipy(symb: BlockSymbolic, Sfull) -> jnp.ndarray:
+    """Assembly from a FULL-symmetric scipy matrix whose pattern is
+    covered by the analyzed one (host-side plan per call — the robust
+    entry point for cholmod-style usage; `assemble` is the
+    fixed-pattern jit path)."""
+    coo = sp.coo_matrix(sp.csr_matrix(Sfull))
+    t, nnzb = symb.t, symb.nnzb
+    pos = np.argsort(symb.perm)
+    pr, pc = pos[coo.row], pos[coo.col]
+    mask = pr >= pc
+    r2, c2 = pr[mask], pc[mask]
+    lk = _slot_lookup(symb)
+    sl = np.array([lk.get((a, b), nnzb)
+                   for a, b in zip(r2 // t, c2 // t)], np.int64)
+    if (sl == nnzb).any() and coo.data[mask][sl == nnzb].any():
+        raise ValueError("matrix entries outside the analyzed pattern")
+    idx = sl * t * t + (r2 % t) * t + (c2 % t)
+    vals = jnp.asarray(coo.data[mask])
+    A = jnp.zeros(((nnzb + 1) * t * t,), vals.dtype)
+    A = A.at[idx].add(vals)
+    A = A.reshape(nnzb + 1, t, t).at[nnzb].set(0.0)
+    npad = symb.nt * t - symb.n
+    if npad:
+        k_last = symb.nt - 1
+        dslot = int(symb.col_slots[k_last, 0])
+        di = np.arange(symb.n - k_last * t, t)
+        A = A.at[dslot, di, di].set(1.0)
+    return A
+
+
+def factor(symb: BlockSymbolic, A: jnp.ndarray):
+    """Numeric block Cholesky: scan over block-columns.  A: the slot
+    table from `assemble` (or any same-pattern assembly).  Returns the
+    L slot table (same layout).  NaN blocks signal non-PD pivots."""
+    t, nnzb, rmax = symb.t, symb.nnzb, symb.col_slots.shape[1]
+
+    xs = (jnp.asarray(symb.col_slots), jnp.asarray(symb.upd_dst),
+          jnp.asarray(symb.upd_src1), jnp.asarray(symb.upd_src2))
+
+    def step(L, x):
+        cslots, dst, s1, s2 = x
+        # gather this column's A blocks (rmax, t, t)
+        col = L[cslots]
+        # update sum: col[dst] -= L[s1] @ L[s2]'
+        U1 = L[s1]                              # (umax, t, t)
+        U2 = L[s2]
+        prod = jnp.einsum("uij,ukj->uik", U1, U2)
+        col = jnp.concatenate(
+            [col, jnp.zeros((1, t, t), col.dtype)], axis=0)
+        col = col.at[dst].add(-prod)
+        col = col[:rmax]
+        # diagonal factor + off-diagonal solves (the assembly stores
+        # only the lower half of diagonal tiles; mirror it)
+        D = jnp.tril(col[0])
+        D = D + jnp.tril(D, -1).T
+        Lkk = jnp.linalg.cholesky(D)
+        Lb = jnp.broadcast_to(Lkk, (rmax - 1, t, t))
+        rest = jsl.solve_triangular(
+            Lb, col[1:].swapaxes(-1, -2),
+            lower=True).swapaxes(-1, -2)
+        newcol = jnp.concatenate([Lkk[None], rest], axis=0)
+        # scatter back (dummy-slot writes land on slot nnzb)
+        L = L.at[cslots].set(newcol)
+        # keep the dummy slot zero
+        L = L.at[nnzb].set(0.0)
+        return L, 0
+
+    L0 = A
+    L, _ = lax.scan(step, L0, xs)
+    return L
+
+
+def solve(symb: BlockSymbolic, L: jnp.ndarray, B):
+    """Solve L L' x = b in the ORIGINAL (unpermuted) indexing.
+    B: (n,) or (n, nrhs)."""
+    t, nt, nnzb = symb.t, symb.nt, symb.nnzb
+    vec = B.ndim == 1
+    Bm = B[:, None] if vec else B
+    n, nrhs = Bm.shape
+    perm = symb.perm
+    inv = np.argsort(perm)
+    Bp = Bm[perm] if n == symb.n else Bm
+    npad = nt * t - symb.n
+    Bp = jnp.pad(Bp, ((0, npad), (0, 0))).reshape(nt, t, nrhs)
+
+    diag_slots = jnp.asarray(symb.col_slots[:, 0])
+    rs = jnp.asarray(symb.row_slots)
+    rj = jnp.asarray(symb.row_js)
+
+    # forward: y_k = Lkk^{-1} (b_k - sum_j L[k,j] y_j)
+    def fwd(y, x):
+        k, slots, js = x
+        acc = Bp[k] - jnp.einsum(
+            "wij,wjr->ir", L[slots],
+            jnp.concatenate([y, jnp.zeros((1, t, nrhs), y.dtype)],
+                            axis=0)[js])
+        Lkk = L[diag_slots[k]]
+        yk = jsl.solve_triangular(Lkk, acc, lower=True)
+        return y.at[k].set(yk), 0
+
+    y0 = jnp.zeros((nt, t, nrhs), Bm.dtype)
+    y, _ = lax.scan(fwd, y0, (jnp.arange(nt), rs, rj))
+
+    # backward: x_k = Lkk^{-T} (y_k - sum_{i>k} L[i,k]' x_i)
+    cs = jnp.asarray(symb.col_slots)
+    cr = jnp.asarray(symb.col_rows)
+
+    def bwd(xcur, xk):
+        k, slots, rows = xk
+        xi = jnp.concatenate(
+            [xcur, jnp.zeros((1, t, nrhs), xcur.dtype)], axis=0)[rows]
+        # exclude the diagonal (first) entry
+        acc = y[k] - jnp.einsum("wji,wjr->ir", L[slots][1:], xi[1:])
+        Lkk = L[diag_slots[k]]
+        xk_ = jsl.solve_triangular(Lkk.T, acc, lower=False)
+        return xcur.at[k].set(xk_), 0
+
+    x0 = jnp.zeros((nt, t, nrhs), Bm.dtype)
+    x, _ = lax.scan(bwd, x0,
+                    (jnp.arange(nt)[::-1], cs[::-1], cr[::-1]))
+    X = x.reshape(nt * t, nrhs)[:symb.n][inv]
+    return X[:, 0] if vec else X
+
+
+def linsolve(S, B, t: int = 32, perm=None):
+    """One-shot general-sparsity solve: analyze + assemble + factor +
+    solve.  S: scipy sparse SPD."""
+    symb = analyze(S, t=t, perm=perm)
+    A = assemble(symb, S)
+    L = factor(symb, A)
+    return solve(symb, L, jnp.asarray(B))

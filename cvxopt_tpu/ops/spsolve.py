@@ -44,6 +44,7 @@ class CholSymbolic:
     perm: Optional[np.ndarray]
     banded: bool = False
     kd: int = 0
+    bsp: Optional[object] = None     # BlockSymbolic (tile-map path)
 
 
 @dataclass
@@ -51,6 +52,7 @@ class CholFactor:
     L: jnp.ndarray              # dense factor OR band storage (kd+1, n)
     perm: Optional[np.ndarray]
     banded: bool = False
+    bsp: Optional[object] = None     # BlockSymbolic when tile-map
 
 
 def _is_sparse_input(A):
@@ -109,10 +111,26 @@ def symbolic(A, p=None, uplo="L") -> CholSymbolic:
             banded = True
         else:
             banded = (kd + 1) * 4 < n
+        bsp_symb = None
+        if not banded and p is None:
+            # band-hostile pattern (arrow heads, grid fill, ...): try
+            # the block-sparse tile-map factorization (the CHOLMOD-
+            # supernodal analogue, ops/blocksparse) before giving up
+            # and densifying; adopted when the block fill stays well
+            # under dense
+            from cvxopt_tpu.ops import blocksparse as bsp
+            t = 32 if n >= 64 else max(8, n // 4)
+            cand = bsp.analyze(Ssym, t=t)
+            if cand.nnzb * t * t < 0.35 * n * n:
+                bsp_symb = cand
+                perm = cand.perm
         if options.get("print", 0):
+            path = ("banded" if banded else
+                    "blocksparse" if bsp_symb is not None else "dense")
             print(f"cvxopt_tpu.spsolve: n={n} bandwidth={kd} "
-                  f"banded={banded}")
-        return CholSymbolic(n=n, perm=perm, banded=banded, kd=kd)
+                  f"path={path}")
+        return CholSymbolic(n=n, perm=perm, banded=banded, kd=kd,
+                            bsp=bsp_symb)
     A = _dense(A)
     return CholSymbolic(n=A.shape[-1], perm=None if p is None
                         else np.asarray(p))
@@ -120,6 +138,17 @@ def symbolic(A, p=None, uplo="L") -> CholSymbolic:
 
 def numeric(A, symb: CholSymbolic, uplo="L") -> CholFactor:
     """Numeric Cholesky (cholmod.numeric, cholmod.c:364)."""
+    if symb.bsp is not None:
+        from cvxopt_tpu.ops import blocksparse as bsp
+        import scipy.sparse as sp
+        S = _to_scipy(A)
+        if uplo == "L":
+            Ssym = sp.tril(S) + sp.tril(S, -1).T
+        else:
+            Ssym = sp.triu(S) + sp.triu(S, 1).T
+        Ab = bsp.assemble_scipy(symb.bsp, Ssym)
+        L = bsp.factor(symb.bsp, Ab)
+        return CholFactor(L=L, perm=symb.bsp.perm, bsp=symb.bsp)
     if symb.banded:
         from cvxopt_tpu.ops import banded as bnd
         import scipy.sparse as sp
@@ -156,6 +185,12 @@ def solve(F: CholFactor, B, sys: int = 0):
     reference's kkt_chol2 uses; other sys codes of CHOLMOD's LDL
     interface are not applicable to an LL' factorization)."""
     B = _dense(B)
+    if F.bsp is not None:
+        from cvxopt_tpu.ops import blocksparse as bsp
+        if sys != 0:
+            raise ValueError("blocksparse factor supports sys=0 "
+                             "(A x = b) only")
+        return bsp.solve(F.bsp, F.L, B)
     if F.banded:
         from cvxopt_tpu.ops import banded as bnd
         perm, inv = F.perm, np.argsort(F.perm)

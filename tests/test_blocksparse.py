@@ -1,0 +1,86 @@
+"""Block-sparse (tile-map) Cholesky — the general-sparsity path
+between banded and dense (CHOLMOD supernodal analogue,
+/root/reference/src/C/cholmod.c:273-969)."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from cvxopt_tpu.ops import blocksparse as bsp
+
+
+def _arrow(n, rng, scale=None):
+    d = 3.0 + rng.uniform(0, 1, n)
+    A = sp.lil_matrix((n, n))
+    A.setdiag(d)
+    v = (scale if scale is not None
+         else 0.5 / np.sqrt(n)) * rng.standard_normal(n - 1)
+    A[n - 1, :n - 1] = v
+    A[:n - 1, n - 1] = np.asarray(v)[:, None]
+    return sp.csr_matrix(A)
+
+
+def test_blocksparse_patterns():
+    rng = np.random.default_rng(0)
+    cases = []
+    cases.append(("arrow", _arrow(300, rng), 16))
+    B = sp.random(400, 400, density=0.02, random_state=1)
+    cases.append(("random spd",
+                  (B @ B.T + sp.diags(3.0 + rng.uniform(0, 1, 400)))
+                  .tocsr(), 16))
+    k = 20
+    I = sp.eye(k)
+    T = sp.diags([-1., 4., -1.], [-1, 0, 1], shape=(k, k))
+    L2 = (sp.kron(I, T)
+          + sp.kron(sp.diags([-1., -1.], [-1, 1], shape=(k, k)), I))
+    cases.append(("2d laplacian", sp.csr_matrix(L2), 16))
+    for name, S, t in cases:
+        n = S.shape[0]
+        b = rng.standard_normal(n)
+        x = bsp.linsolve(S, b, t=t)
+        xref = np.linalg.solve(S.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), xref, atol=1e-8,
+                                   err_msg=name)
+
+
+def test_blocksparse_structure_scaling():
+    """Cost scales with structure: the arrow pattern's block count is
+    O(nt), not O(nt^2) (the VERDICT 'done' criterion — an arrow
+    pattern solves with cost scaling with structure)."""
+    rng = np.random.default_rng(1)
+    S = _arrow(2000, rng)
+    symb = bsp.analyze(S, t=32)
+    # arrow blocks: diagonal (nt) + last row (nt-1) ~ 2*nt
+    assert symb.nnzb <= 3 * symb.nt, (symb.nnzb, symb.nt)
+    b = rng.standard_normal(2000)
+    x = bsp.linsolve(S, b, t=32)
+    assert np.abs(S @ np.asarray(x) - b).max() < 1e-9
+
+
+def test_blocksparse_multi_rhs_and_assembly_paths():
+    rng = np.random.default_rng(2)
+    S = _arrow(200, rng)
+    symb = bsp.analyze(S, t=16)
+    A1 = bsp.assemble(symb, S)
+    A2 = bsp.assemble_scipy(symb, S)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2))
+    L = bsp.factor(symb, A1)
+    B = rng.standard_normal((200, 3))
+    X = bsp.solve(symb, L, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(X),
+                               np.linalg.solve(S.toarray(), B),
+                               atol=1e-8)
+
+
+def test_cholmod_api_routes_blocksparse():
+    """The cholmod-equivalent API uses the tile-map path for
+    band-hostile patterns instead of silently densifying."""
+    from cvxopt_tpu.ops import spsolve
+    rng = np.random.default_rng(3)
+    S = _arrow(1500, rng)
+    symb = spsolve.symbolic(S)
+    assert symb.bsp is not None
+    F = spsolve.numeric(S, symb)
+    b = rng.standard_normal(1500)
+    x = spsolve.solve(F, b)
+    assert np.abs(S @ np.asarray(x) - b).max() < 1e-9
