@@ -58,11 +58,84 @@ def _parse_glpk_options(opts):
             float(tm_lim) / 1e3 if tm_lim else None, verbose)
 
 
+def _separate_cover_cuts(G, h, x, B_idx, max_new, tol=1e-4):
+    """Lifted-cover-cut separation on binary-supported rows (the cover
+    half of GLPK's branch-and-cut cut generation, glpk.c:467).
+
+    For each row a'x <= b whose binary support can be complemented to
+    a knapsack  sum a'_j y_j <= b' (a'_j > 0, y in {0,1}), a greedy
+    minimal cover C (items by decreasing fractional value) with
+    sum_C a'_j > b' yields the valid inequality sum_C y_j <= |C| - 1;
+    it is added when the current fractional point violates it.
+    Returns a list of (row, rhs) in the ORIGINAL x variables."""
+    cuts = []
+    nb = len(B_idx)
+    if not nb:
+        return cuts
+    bset = set(B_idx)
+    for i in range(G.shape[0]):
+        supp = np.flatnonzero(G[i])
+        if not len(supp) or not set(supp.tolist()) <= bset:
+            continue
+        a = G[i, supp]
+        bprime = h[i] - a[a < 0].sum()     # complement a_j < 0 vars
+        apos = np.abs(a)
+        ystar = np.where(a > 0, x[supp], 1.0 - x[supp])
+        if apos.sum() <= bprime + tol:
+            continue                       # no cover exists
+        # separation: minimize sum (1 - y*_j) over covers — greedy by
+        # (1 - y*)/a ascending; violated iff the optimum is < 1
+        slack = np.clip(1.0 - ystar, 0.0, None)
+        order = np.argsort(slack / np.maximum(apos, 1e-12))
+        acc = 0.0
+        C = []
+        for j in order:
+            C.append(j)
+            acc += apos[j]
+            if acc > bprime + 1e-12:
+                break
+        if acc <= bprime + 1e-12:
+            continue
+        # reduce to a MINIMAL cover: drop largest-slack items while
+        # the rest still covers
+        C.sort(key=lambda j: -slack[j])
+        keep = list(C)
+        for j in list(keep):
+            if acc - apos[j] > bprime + 1e-12:
+                keep.remove(j)
+                acc -= apos[j]
+        C = np.asarray(keep)
+        if ystar[C].sum() <= len(C) - 1 + tol:
+            continue                       # not violated
+        # extended cover E(C): items with a_j >= max_C a_k join the
+        # lhs with coefficient 1 (rhs unchanged) — the standard
+        # strengthening of the minimal cover inequality
+        amax = apos[C].max()
+        ext = np.flatnonzero(apos >= amax - 1e-12)
+        members = set(C.tolist()) | set(ext.tolist())
+        # back-substitute complements: sum_{a>0} x - sum_{a<0} x <=
+        # |C| - 1 - #(complemented in members)
+        row = np.zeros(G.shape[1])
+        rhs = float(len(C) - 1)
+        for j in members:
+            col = supp[j]
+            if a[j] > 0:
+                row[col] = 1.0
+            else:
+                row[col] = -1.0
+                rhs -= 1.0
+        cuts.append((row, rhs))
+        if len(cuts) >= max_new:
+            break
+    return cuts
+
+
 def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         B: Optional[Sequence[int]] = None, options=None,
         max_nodes: int = 1000, int_tol: float = 1e-6,
         node_batch: int = 8, bound: float = 1e6,
-        warm_start: bool = True):
+        warm_start: bool = True, cuts: bool = True,
+        max_cuts: int = 32):
     import time as _time
     c = np.asarray(c, dtype=float).reshape(-1)
     n = c.shape[0]
@@ -86,12 +159,23 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         A = np.asarray(A, dtype=float).reshape(-1, n)
         b = np.asarray(b, dtype=float).reshape(-1)
 
-    # fixed-shape relaxation: box rows for every integer variable
+    # fixed-shape relaxation: [G; cut pool; box rows].  The cut pool
+    # is max_cuts preallocated zero rows with inactive (+big) rhs —
+    # root-node cover cuts are written into it WITHOUT changing the
+    # relaxation's shape, so the jit-cached vmapped cores never
+    # retrace (cut-and-branch, the fixed-shape analogue of GLPK's
+    # branch-and-cut row additions, glpk.c:467)
+    ncuts = max_cuts if (cuts and B) else 0
     rows = np.zeros((2 * ni, n))
     for k, j in enumerate(I):
         rows[k, j] = 1.0               # x_j <= hi_k
         rows[ni + k, j] = -1.0         # -x_j <= -lo_k
-    Gx = np.concatenate([G, rows]) if ni else G
+    cutpool = np.zeros((ncuts, n))
+    hcuts = np.full(ncuts, 1e7)
+    parts = [G] + ([cutpool] if ncuts else []) \
+        + ([rows] if ni else [])
+    Gx = np.concatenate(parts) if len(parts) > 1 else G
+    ncut_used = [0]
     lo0 = np.full(ni, -bound)
     hi0 = np.full(ni, bound)
     for k, j in enumerate(I):
@@ -127,13 +211,16 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         minact = np.where(_Gi > 0, _Gi * lo, _Gi * hi).sum(axis=1)
         return bool((minact > _hi_rows + 1e-9).any())
     cj = jnp.asarray(c)
-    Gj = jnp.asarray(Gx)
+    Gj = [jnp.asarray(Gx)]                 # mutable: root cuts land here
     Aj = jnp.asarray(A)
     bj = jnp.asarray(b)
-    vcore = jax.jit(jax.vmap(lambda h_: core(cj, Gj, h_, Aj, bj)))
+    vcore = jax.jit(jax.vmap(
+        lambda h_, G_: core(cj, G_, h_, Aj, bj),
+        in_axes=(0, None)))
     vcore_ws = jax.jit(jax.vmap(
-        lambda h_, x0, y0, z0: core_ws(cj, Gj, h_, Aj, bj,
-                                       x0, y0, z0))) \
+        lambda h_, G_, x0, y0, z0: core_ws(cj, G_, h_, Aj, bj,
+                                           x0, y0, z0),
+        in_axes=(0, None, 0, 0, 0))) \
         if warm_start else None
     total_ipm_iters = [0]
 
@@ -141,16 +228,17 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         """bounds: list of (lo, hi); returns per-node (status, obj, x,
         y, z).  With `starts` (parent (x, y, z) per node), children
         are warm-started from their parent's iterates."""
-        hs = np.stack([np.concatenate([h, hi, -lo])
+        hmid = [h] + ([hcuts] if ncuts else [])
+        hs = np.stack([np.concatenate(hmid + [hi, -lo])
                        for lo, hi in bounds]) if ni else \
-            np.stack([h for _ in bounds])
+            np.stack([np.concatenate(hmid) for _ in bounds])
         if starts is not None and vcore_ws is not None:
             x0 = jnp.asarray(np.stack([s[0] for s in starts]))
             y0 = jnp.asarray(np.stack([s[1] for s in starts]))
             z0 = jnp.asarray(np.stack([s[2] for s in starts]))
-            out = vcore_ws(jnp.asarray(hs), x0, y0, z0)
+            out = vcore_ws(jnp.asarray(hs), Gj[0], x0, y0, z0)
         else:
-            out = vcore(jnp.asarray(hs))
+            out = vcore(jnp.asarray(hs), Gj[0])
         total_ipm_iters[0] += int(np.asarray(
             out["iterations"]).sum())
         return (np.asarray(out["status"]), np.asarray(out["pcost"]),
@@ -159,6 +247,47 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
 
     # root
     st, obj, xs, ys, zs = solve_nodes([(lo0, hi0)])
+
+    # root cutting-plane rounds (cut-and-branch): separate cover cuts
+    # violated by the fractional root solution, write them into the
+    # preallocated pool, re-solve, repeat until the pool is full or no
+    # violated cut is found
+    seen_cuts = set()
+
+    def try_add_cuts(xsol):
+        """Separate cover cuts violated by `xsol` into the pool.
+        Cuts are derived from ORIGINAL rows, so they are globally
+        valid; bounds of already-solved nodes remain valid lower
+        bounds (cuts only tighten relaxations)."""
+        if not ncuts or ncut_used[0] >= ncuts:
+            return False
+        new = _separate_cover_cuts(G, h, xsol, B,
+                                   ncuts - ncut_used[0])
+        new = [(row, rhs) for row, rhs in new
+               if (tuple(np.nonzero(row)[0]), rhs) not in seen_cuts]
+        if not new:
+            return False
+        Gnp = np.array(Gj[0])
+        base = G.shape[0]
+        for row, rhs in new:
+            kc = ncut_used[0]
+            Gnp[base + kc] = row
+            hcuts[kc] = rhs
+            seen_cuts.add((tuple(np.nonzero(row)[0]), rhs))
+            ncut_used[0] += 1
+        Gj[0] = jnp.asarray(Gnp)
+        return True
+
+    cut_rounds = 0
+    while (ncuts and st[0] == STATUS_OPTIMAL
+           and ncut_used[0] < ncuts and cut_rounds < 6):
+        frac0 = np.array([abs(xs[0][j] - round(xs[0][j])) for j in I])
+        if frac0.max() <= int_tol:
+            break
+        if not try_add_cuts(xs[0]):
+            break
+        cut_rounds += 1
+        st, obj, xs, ys, zs = solve_nodes([(lo0, hi0)])
     if st[0] == STATUS_PRIMAL_INFEASIBLE:
         return "LP relaxation is primal infeasible", None
     if st[0] == STATUS_DUAL_INFEASIBLE:
@@ -266,6 +395,11 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
         for i, (lo, hi) in enumerate(batch):
             if st[i] != STATUS_OPTIMAL:
                 continue
+            if ncut_used[0] < ncuts:
+                # keep harvesting cover cuts from fractional node
+                # solutions while the pool has room (applies to
+                # future node solves only — sound, see try_add_cuts)
+                try_add_cuts(xs[i])
             k, dirn, fk, pobj = meta[i]
             degr = max(float(obj[i]) - float(pobj), 0.0)
             if dirn == 0 and fk > int_tol:
@@ -285,6 +419,7 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
     stats = opts.get("_stats")
     if isinstance(stats, dict):
         stats.update(nodes=nodes, ipm_iterations=total_ipm_iters[0],
+                     cuts=ncut_used[0],
                      best_obj=(None if best_x is None else best_obj))
     if best_x is not None:
         # 'feasible' = incumbent found but optimality not proven

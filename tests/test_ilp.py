@@ -94,3 +94,27 @@ def test_ilp_glpk_options_plumbing():
     # a 0 ms time limit forces the 'unknown' (terminated) path
     st2, x2 = ilp(c, G, h, I=[0, 1], options={"tm_lim": 0})
     assert st2 in ("optimal", "unknown")
+
+
+def test_cover_cuts_reduce_nodes():
+    """Lifted cover cuts (cut-and-branch + in-tree harvesting) prune
+    the search measurably on a 60-binary multi-knapsack while
+    preserving the optimum (reference: GLPK branch-and-cut,
+    glpk.c:467)."""
+    rng = np.random.default_rng(11)
+    n = 60
+    c = -rng.uniform(1, 10, n)
+    W = rng.uniform(1, 10, (5, n))
+    cap = 0.3 * W.sum(axis=1)
+    s_nc, s_c = {}, {}
+    st1, x1 = ilp(c, W, cap, B=list(range(n)), cuts=False,
+                  max_nodes=4000, node_batch=16,
+                  options={"_stats": s_nc})
+    st2, x2 = ilp(c, W, cap, B=list(range(n)), cuts=True,
+                  max_nodes=4000, node_batch=16,
+                  options={"_stats": s_c})
+    assert st1 == st2 == "optimal"
+    assert abs(float(c @ x1) - float(c @ x2)) < 1e-5
+    assert s_c["cuts"] > 0
+    # measured: 1012 -> 654 nodes; assert a conservative margin
+    assert s_c["nodes"] <= 0.85 * s_nc["nodes"], (s_nc, s_c)
