@@ -293,14 +293,110 @@ def gesvd(A, jobu="S", jobvt="S"):
 gesdd = gesvd
 
 
-def gees(A, *args, **kwargs):
-    raise NotImplementedError("Schur decomposition (gees) has no XLA "
-                              "lowering on TPU")
+def gees(A, select=None):
+    """Schur factorization A = V S V' (reference gees,
+    lapack.c:6697): returns (S, w, V[, sdim]) — the (real or complex)
+    Schur form, the eigenvalues, the Schur vectors, and, when
+    ``select`` is given, the count of selected eigenvalues (ordered
+    first, as in the reference's select semantics).
+
+    The QR iteration is inherently sequential with data-dependent
+    deflation — host-shaped work with no XLA lowering on any backend —
+    so this runs as a host callback (scipy wraps the same LAPACK
+    dhsqr/zhsqr the reference calls); jit/TPU callers pay one
+    host round-trip, exactly like the reference's CPU LAPACK call."""
+    import numpy as np
+    import scipy.linalg as sla
+    import jax
+
+    A = jnp.asarray(A)
+    cplx = jnp.iscomplexobj(A)
+    out_dtype = A.dtype
+    w_dtype = jnp.complex128 if out_dtype in (jnp.float64,
+                                              jnp.complex128) \
+        else jnp.complex64
+
+    def _schur(a):
+        a = np.asarray(a)
+        output = "complex" if np.iscomplexobj(a) else "real"
+        if select is None:
+            S, V = sla.schur(a, output=output)
+            sdim = np.int32(0)
+        else:
+            if output == "real":
+                sel = lambda wr, wi: bool(select(complex(wr, wi))
+                                          or select(complex(wr, -wi)))
+            else:
+                sel = lambda s: bool(select(complex(s)))
+            S, V, sdim = sla.schur(a, output=output, sort=sel)
+            sdim = np.int32(sdim)
+        w = sla.eigvals(S) if output == "real" else np.diag(S)
+        return (S.astype(a.dtype), w.astype(np.dtype(w_dtype)),
+                V.astype(a.dtype), sdim)
+
+    n = A.shape[-1]
+    shapes = (jax.ShapeDtypeStruct(A.shape, out_dtype),
+              jax.ShapeDtypeStruct(A.shape[:-2] + (n,), w_dtype),
+              jax.ShapeDtypeStruct(A.shape, out_dtype),
+              jax.ShapeDtypeStruct(A.shape[:-2], jnp.int32))
+    S, w, V, sdim = jax.pure_callback(_schur, shapes, A,
+                                      vmap_method="sequential")
+    if select is None:
+        return S, w, V
+    return S, w, V, sdim
 
 
-def gges(A, *args, **kwargs):
-    raise NotImplementedError("generalized Schur (gges) has no XLA "
-                              "lowering on TPU")
+def gges(A, B, select=None):
+    """Generalized Schur factorization (A, B) = (V S W', V T W')
+    (reference gges, lapack.c:7341): returns (S, T, a, b, Vl, Vr
+    [, sdim]) with generalized eigenvalues a/b.  Host callback — see
+    `gees` for rationale."""
+    import numpy as np
+    import scipy.linalg as sla
+    import jax
+
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    out_dtype = jnp.result_type(A.dtype, B.dtype)
+    w_dtype = jnp.complex128 if out_dtype in (jnp.float64,
+                                              jnp.complex128) \
+        else jnp.complex64
+
+    def _qz(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        output = "complex" if (np.iscomplexobj(a)
+                               or np.iscomplexobj(b)) else "real"
+        if select is None:
+            S, T, al, be, Q, Z = sla.ordqz(a, b, output=output)
+            sdim = np.int32(0)
+        else:
+            def sel(alpha, beta):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return np.asarray(
+                        [bool(select(complex(x) / complex(y)))
+                         if y != 0 else False
+                         for x, y in zip(np.atleast_1d(alpha),
+                                         np.atleast_1d(beta))])
+            S, T, al, be, Q, Z = sla.ordqz(a, b, sort=sel,
+                                           output=output)
+            sdim = np.int32(sel(al, be).sum())
+        return (S.astype(np.dtype(out_dtype)),
+                T.astype(np.dtype(out_dtype)),
+                al.astype(np.dtype(w_dtype)),
+                be.astype(np.dtype(w_dtype)),
+                Q.astype(np.dtype(out_dtype)),
+                Z.astype(np.dtype(out_dtype)), sdim)
+
+    n = A.shape[-1]
+    mat = jax.ShapeDtypeStruct(A.shape, out_dtype)
+    vec = jax.ShapeDtypeStruct(A.shape[:-2] + (n,), w_dtype)
+    shapes = (mat, mat, vec, vec, mat, mat,
+              jax.ShapeDtypeStruct(A.shape[:-2], jnp.int32))
+    S, T, al, be, Q, Z, sdim = jax.pure_callback(
+        _qz, shapes, A, B, vmap_method="sequential")
+    if select is None:
+        return S, T, al, be, Q, Z
+    return S, T, al, be, Q, Z, sdim
 
 
 def lacpy(A, uplo=None):

@@ -332,3 +332,43 @@ def test_larfg_larfx():
                                                jnp.asarray(x)[:, None]))
     np.testing.assert_allclose(y[0, 0], float(beta), atol=1e-10)
     np.testing.assert_allclose(y[1:, 0], 0.0, atol=1e-10)
+
+
+def test_gees_real_and_complex():
+    """Schur factorization (reference gees, lapack.c:6697) — host
+    callback; real + complex + select ordering + jit."""
+    from cvxopt_tpu.ops import lapack
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((8, 8))
+    S, w, V = lapack.gees(jnp.asarray(A))
+    S, w, V = np.asarray(S), np.asarray(w), np.asarray(V)
+    assert np.abs(V @ S @ V.T - A).max() < 1e-12
+    assert np.abs(V.T @ V - np.eye(8)).max() < 1e-12
+    wr = np.sort_complex(np.linalg.eigvals(A))
+    assert np.abs(np.sort_complex(w) - wr).max() < 1e-10
+    _, _, _, sdim = lapack.gees(jnp.asarray(A),
+                                select=lambda s: s.real < 0)
+    assert int(sdim) == int((wr.real < 0).sum())
+    Az = A + 1j * rng.standard_normal((8, 8))
+    Sz, wz, Vz = lapack.gees(jnp.asarray(Az))
+    Sz, Vz = np.asarray(Sz), np.asarray(Vz)
+    assert np.abs(Vz @ Sz @ Vz.conj().T - Az).max() < 1e-12
+    assert np.abs(np.tril(Sz, -1)).max() == 0.0
+    f = jax.jit(lambda a: lapack.gees(a)[1])
+    got = np.sort_complex(np.asarray(f(jnp.asarray(A))))
+    assert np.abs(got - wr).max() < 1e-10
+
+
+def test_gges_generalized_schur():
+    """Generalized Schur / QZ (reference gges, lapack.c:7341)."""
+    from cvxopt_tpu.ops import lapack
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((6, 6))
+    B = rng.standard_normal((6, 6)) + 4 * np.eye(6)
+    S, T, al, be, Q, Z = lapack.gges(jnp.asarray(A), jnp.asarray(B))
+    S, T, Q, Z = map(np.asarray, (S, T, Q, Z))
+    assert np.abs(Q @ S @ Z.T - A).max() < 1e-12
+    assert np.abs(Q @ T @ Z.T - B).max() < 1e-12
+    gen = np.sort_complex(np.asarray(al) / np.asarray(be))
+    ref = np.sort_complex(np.linalg.eigvals(np.linalg.solve(B, A)))
+    assert np.abs(gen - ref).max() < 1e-10
