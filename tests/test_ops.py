@@ -125,9 +125,11 @@ def test_lapack_qr_eig_svd():
                                    rtol=1e-6, atol=1e-8)
 
 
-def test_lapack_unsupported():
-    with pytest.raises(NotImplementedError):
-        lapack.gees(jnp.eye(3))
+def test_lapack_gees_identity():
+    # gees is now implemented (host callback); trivial sanity here,
+    # full coverage in test_gees_real_and_complex below
+    S, w, V = lapack.gees(jnp.eye(3))
+    assert np.allclose(np.asarray(w), 1.0)
 
 
 # ---- spsolve (cholmod/umfpack/amd equivalents) -----------------------
@@ -354,6 +356,7 @@ def test_gees_real_and_complex():
     Sz, Vz = np.asarray(Sz), np.asarray(Vz)
     assert np.abs(Vz @ Sz @ Vz.conj().T - Az).max() < 1e-12
     assert np.abs(np.tril(Sz, -1)).max() == 0.0
+    import jax
     f = jax.jit(lambda a: lapack.gees(a)[1])
     got = np.sort_complex(np.asarray(f(jnp.asarray(A))))
     assert np.abs(got - wr).max() < 1e-10
