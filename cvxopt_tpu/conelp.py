@@ -293,17 +293,29 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         def f6(bx, by_, bz, btau, bs, bkappa):
             u = f6_no_ir(bx, by_, bz, btau, bs, bkappa)
             relres = jnp.asarray(0.0, dtype)
-            for _ in range(refinement):
+
+            def round_(carry):
+                u, _ = carry
                 v = resid6(*u, bx, by_, bz, btau, bs, bkappa)
                 # contraction of one solve round: the mixed-precision
                 # failure detector (RESCUE_RELRES)
-                relres = _tnorm_parts(v) / jnp.maximum(
+                rr = _tnorm_parts(v) / jnp.maximum(
                     _tnorm_parts((bx, by_, bz, btau, bs, bkappa)),
                     1e-30)
                 du = f6_no_ir(*v)
-                u = tuple(jax.tree_util.tree_map(
+                return tuple(jax.tree_util.tree_map(
                     lambda a_, d_: a_ + d_, a, d)
-                    for a, d in zip(u, du))
+                    for a, d in zip(u, du)), rr
+
+            if refinement <= 1:
+                for _ in range(refinement):
+                    u, relres = round_((u, relres))
+            else:
+                # fori_loop keeps the refinement body (a full KKT
+                # solve) in the program ONCE instead of nref times
+                u, relres = lax.fori_loop(
+                    0, refinement, lambda i, c: round_(c),
+                    (u, relres))
             return u, relres
 
         mu = jnp.sum(lmbda * lmbda) + lgsq

@@ -149,14 +149,26 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         def f4(bx, by_, bz, bs, nref=refinement):
             u = f4_no_ir(bx, by_, bz, bs)
             relres = jnp.asarray(0.0, gap.dtype)
-            for _ in range(nref):
+
+            def round_(carry):
+                u, _ = carry
                 v = resid4(*u, bx, by_, bz, bs)
                 # contraction of one solve round: the mixed-precision
                 # failure detector (conelp.RESCUE_RELRES)
-                relres = _tnorm_parts(v) / jnp.maximum(
+                rr = _tnorm_parts(v) / jnp.maximum(
                     _tnorm_parts((bx, by_, bz, bs)), 1e-30)
                 du = f4_no_ir(*v)
-                u = tuple(a + d for a, d in zip(u, du))
+                return tuple(a + d for a, d in zip(u, du)), rr
+
+            if nref <= 1:
+                for _ in range(nref):
+                    u, relres = round_((u, relres))
+            else:
+                # fori_loop keeps the refinement body (a full KKT
+                # solve) in the program ONCE instead of nref times —
+                # the cascade's compile-time diet
+                u, relres = lax.fori_loop(
+                    0, nref, lambda i, c: round_(c), (u, relres))
             return u, relres
 
         mu = gap / dims.cdim_diag
