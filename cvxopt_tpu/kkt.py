@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from cvxopt_tpu.cones import ConeDims, pack, unpack, pack_matrix_cols
-from cvxopt_tpu.scaling import scale, scale_rows
+from cvxopt_tpu.scaling import scale, scale_rows, scale_w2inv
 
 DEFAULT_SOLVERS = ("ldl", "ldl2", "qr", "chol", "chol2")
 
@@ -144,8 +144,7 @@ def kkt_ldl2(G, dims: ConeDims, A, mnl: int = 0,
         lu, piv = jsl.lu_factor(K)
 
         def solve(bx, by, bz):
-            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
-                       W, dims, inverse="I")
+            zs = scale_w2inv(bz, W, dims)
             r = (bx + GG.T @ zs).astype(S.dtype)
             u = jnp.concatenate([r, by.astype(S.dtype)])
             u = jsl.lu_solve((lu, piv), u)
@@ -239,8 +238,7 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
         def solve(bx, by, bz):
             # rhs r = bx + GG' W^{-1} W^{-T} bz via the unscaled GG
             # (shared across vmapped batches; see kkt_chol2.solve)
-            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
-                       W, dims, inverse="I")
+            zs = scale_w2inv(bz, W, dims)
             r = (bx + GG.T @ zs).astype(S.dtype)
             byf = by.astype(S.dtype)
             if p:
@@ -454,8 +452,7 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
             # r = bx + GG' W^{-1} W^{-T} bz, computed through the
             # UNSCALED GG (Gs' (W^{-T}bz) == GG' (W^{-1}W^{-T}bz)): GG
             # is shared across a vmapped batch while Gs is per-instance
-            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
-                       W, dims, inverse="I")
+            zs = scale_w2inv(bz, W, dims)
             r = (bx + GG.T @ zs).astype(S.dtype)
             t = Sinv(r)
             if p:
@@ -580,8 +577,7 @@ def kkt_cholqr(G, dims: ConeDims, A, mnl: int = 0,
         def solve(bx, by, bz):
             # r = bx + GG' W^{-1} W^{-T} bz via the unscaled GG
             # (shared across vmapped batches; see kkt_chol2.solve)
-            zs = scale(scale(bz, W, dims, trans="T", inverse="I"),
-                       W, dims, inverse="I")
+            zs = scale_w2inv(bz, W, dims)
             r = (bx + GG.T @ zs).astype(fdt)
             byf = by.astype(fdt)
             if p:

@@ -127,6 +127,50 @@ def scale(x: Array, W: Dict, dims: ConeDims, trans: str = "N",
     return out
 
 
+def scale_w2inv(x: Array, W: Dict, dims: ConeDims) -> Array:
+    """Fused x := W^{-1} W^{-T} x (one pass; equals
+    scale(scale(x, W, trans='T', inverse='I'), W, inverse='I')).
+
+    The KKT solve paths apply this to every right-hand side
+    (misc.py:1404: "bz := W^{-1}W^{-T} bz"); fusing the two scale
+    passes halves the cone-kernel work there — for 's' runs one
+    R2-conjugation (R2 = rti rti') replaces two rti-conjugations
+    (2 batched matmuls instead of 4), for 'q' runs two dot products
+    replace four.
+    """
+    out = x
+    nl = dims.lnl
+    if nl:
+        di = _difull(W)
+        out = _set(out, slice(0, nl), x[..., :nl] * (di * di))
+
+    for i, run in enumerate(dims.q_runs):
+        off, cnt, m = run
+        v = W["v"][i]                        # (cnt, m)
+        beta = W["beta"][i]                  # (cnt,)
+        xk = qview(x, run)
+        # W^{-2} x = (x + 2 Jv a - 2 v (v'Jx)) / beta^2 with
+        # a = 2 (v'v)(v'Jx) - v'x  (derived from two W^{-1} passes
+        # using v'Jv = 1)
+        vJx = jdot(v, xk)[..., None]
+        vx = jnp.sum(v * xk, axis=-1, keepdims=True)
+        vv = jnp.sum(v * v, axis=-1, keepdims=True)
+        a = 2.0 * vv * vJx - vx
+        Jv = jnp.concatenate([v[..., :1], -v[..., 1:]], axis=-1)
+        new = (xk + 2.0 * Jv * a - 2.0 * v * vJx) \
+            / (beta * beta)[..., :, None]
+        out = _set(out, slice(off, off + cnt * m), new)
+
+    for i, run in enumerate(dims.s_runs):
+        off, _, cnt, m = run
+        X = sview(x, run)
+        rti = W["rti"][i]
+        R2 = rti @ jnp.swapaxes(rti, -1, -2)
+        new = R2 @ X @ R2                    # R2 symmetric
+        out = _set(out, slice(off, off + cnt * m * m), new)
+    return out
+
+
 def scale_rows(M: Array, W: Dict, dims: ConeDims, trans: str = "N",
                inverse: str = "N") -> Array:
     """Apply `scale` to every column of a (cdim, n) matrix; returns the
