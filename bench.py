@@ -699,17 +699,26 @@ def main():
 
     socp = None
     if os.environ.get("BENCH_SOCP", "1") != "0":
-        try:
-            socp = bench_socp(
-                nb=int(os.environ.get("BENCH_SOCP_NB",
-                                      2048 if on_tpu else 4)),
-                n=64 if on_tpu else 16,
-                nq=100 if on_tpu else 10,
-                chunks=int(os.environ.get("BENCH_SOCP_CHUNKS",
-                                          5 if on_tpu else 1)),
-                baseline_iters_per_s=socp_base)
-        except Exception as e:                       # pragma: no cover
-            socp = {"error": repr(e)[:200]}
+        nb_socp = int(os.environ.get("BENCH_SOCP_NB",
+                                     2048 if on_tpu else 4))
+        chunks_socp = int(os.environ.get("BENCH_SOCP_CHUNKS",
+                                         5 if on_tpu else 1))
+        while nb_socp >= 4:
+            try:
+                socp = bench_socp(
+                    nb=nb_socp, n=64 if on_tpu else 16,
+                    nq=100 if on_tpu else 10, chunks=chunks_socp,
+                    baseline_iters_per_s=socp_base)
+                break
+            except Exception as e:                   # pragma: no cover
+                socp = {"error": repr(e)[:200], "nb": nb_socp}
+                if "RESOURCE_EXHAUSTED" not in repr(e) \
+                        and "memory" not in repr(e).lower():
+                    break
+                # halve the chunk width, double the chunk count: the
+                # total scenario count stays fixed under HBM pressure
+                nb_socp //= 2
+                chunks_socp *= 2
 
     sdp = None
     if os.environ.get("BENCH_SDP", "1") != "0":
