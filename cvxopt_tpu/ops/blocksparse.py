@@ -332,3 +332,151 @@ def linsolve(S, B, t: int = 32, perm=None):
     A = assemble(symb, S)
     L = factor(symb, A)
     return solve(symb, L, jnp.asarray(B))
+
+
+# ---------------------------------------------------------------------
+# Fixed-pattern KKT assembly + the general-sparsity kktsolver
+# (the blocksparse analogue of sparse_kkt.kkt_chol2_banded)
+# ---------------------------------------------------------------------
+
+@dataclass
+class KKTPlan:
+    symb: BlockSymbolic
+    scatter_idx: jnp.ndarray    # (m*r*r,) slot*t*t + local (or OOB)
+    G: object                   # SparseELL (original indexing)
+    Ablocks: Optional[jnp.ndarray]   # static P contribution
+
+
+def make_kkt_plan(G_sp, P_sp=None, t: int = 32,
+                  dtype=jnp.float64) -> KKTPlan:
+    """Host-side symbolic setup for S = P + G' diag(w) G over a
+    general (AMD-ordered, tile-mapped) pattern: the scatter indices of
+    every Gram pair G[k,i]*G[k,j] into the block-slot storage are
+    computed once (the `partial=True` analogue); per-iteration
+    assembly is one fused multiply + scatter-add."""
+    from cvxopt_tpu.ops.sparse_kkt import SparseELL
+    G_sp = sp.csr_matrix(G_sp)
+    m, n = G_sp.shape
+    Gpat = sp.csr_matrix(
+        (np.ones_like(G_sp.data), G_sp.indices, G_sp.indptr),
+        shape=G_sp.shape)
+    Spat = (Gpat.T @ Gpat)
+    if P_sp is not None:
+        Spat = Spat + sp.csr_matrix(P_sp)
+    symb = analyze((Spat != 0), t=t)
+    tt = symb.t
+    pos = np.argsort(symb.perm)
+    lk = _slot_lookup(symb)
+
+    ell = SparseELL.from_scipy(G_sp)
+    r = ell.vals.shape[1]
+    cols = np.asarray(ell.cols)
+    valid = np.asarray(ell.vals) != 0
+    p_i = pos[cols]                          # (m, r) permuted positions
+    pi = p_i[:, :, None] * np.ones((1, 1, r), int)
+    pj = p_i[:, None, :] * np.ones((1, r, 1), int)
+    vi = valid[:, :, None] & valid[:, None, :]
+    lower = pi >= pj
+    bi, bj = pi // tt, pj // tt
+    li, lj = pi % tt, pj % tt
+    # vectorized slot lookup via a dense (nt, nt) map
+    smap = np.full((symb.nt, symb.nt), symb.nnzb, np.int64)
+    for (a, b), s in lk.items():
+        smap[a, b] = s
+    slots = smap[bi, bj]
+    flat = slots * tt * tt + li * tt + lj
+    oob = (symb.nnzb + 1) * tt * tt
+    flat = np.where(vi & lower & (slots < symb.nnzb), flat, oob)
+
+    Ablocks = None
+    if P_sp is not None:
+        Pd = sp.csr_matrix(P_sp)
+        Psym = sp.tril(Pd) + sp.tril(Pd, -1).T
+        Ablocks = assemble_scipy(symb, Psym)
+        # remove the unit padding (added again at assembly)
+        npad = symb.nt * t - symb.n
+        if npad:
+            k_last = symb.nt - 1
+            dslot = int(symb.col_slots[k_last, 0])
+            di = np.arange(symb.n - k_last * t, t)
+            Ablocks = Ablocks.at[dslot, di, di].set(0.0)
+    ellc = SparseELL(ell.vals.astype(dtype), ell.cols, ell.shape)
+    return KKTPlan(symb=symb,
+                   scatter_idx=jnp.asarray(flat.reshape(-1)),
+                   G=ellc, Ablocks=Ablocks)
+
+
+def assemble_kkt(plan: KKTPlan, wrow):
+    """Device-side numeric assembly of S = P + G' diag(wrow) G into
+    block-slot storage (fixed pattern, one scatter-add)."""
+    symb = plan.symb
+    t, nnzb = symb.t, symb.nnzb
+    v = plan.G.vals                          # (m, r)
+    contrib = wrow[:, None, None] * v[:, :, None] * v[:, None, :]
+    A = jnp.zeros(((nnzb + 1) * t * t,), contrib.dtype).at[
+        plan.scatter_idx].add(contrib.reshape(-1), mode="drop")
+    A = A.reshape(nnzb + 1, t, t).at[nnzb].set(0.0)
+    if plan.Ablocks is not None:
+        A = A + plan.Ablocks.astype(A.dtype)
+    npad = symb.nt * t - symb.n
+    if npad:
+        k_last = symb.nt - 1
+        dslot = int(symb.col_slots[k_last, 0])
+        di = jnp.arange(symb.n - k_last * t, t)
+        A = A.at[dslot, di, di].set(1.0)
+    return A
+
+
+def kkt_chol2_blocksparse(G_sp, dims, A=None, P_sp=None, t: int = 32,
+                          dtype=jnp.float64):
+    """General-sparsity custom kktsolver for 'l'-cone problems: the
+    tile-map Cholesky behind the reference kkt_chol2 contract
+    (misc.py:1352 + CHOLMOD supernodal, cholmod.c:273-969) — for
+    patterns the banded path cannot band (arrow heads, grid fill).
+
+    Same contract as sparse_kkt.kkt_chol2_banded."""
+    if getattr(dims, "q", ()) or getattr(dims, "s", ()):
+        raise ValueError("kkt_chol2_blocksparse supports 'l' cones "
+                         "only")
+    plan = make_kkt_plan(G_sp, P_sp=P_sp, t=t, dtype=dtype)
+    symb = plan.symb
+    G = plan.G
+    if A is not None and getattr(A, "shape", (0,))[0]:
+        A = jnp.asarray(A, dtype) if not hasattr(A, "todense") \
+            else jnp.asarray(np.asarray(A.todense()), dtype)
+        p = A.shape[0]
+    else:
+        p = 0
+
+    def kktsolver(W):
+        di = W["di"]
+        Ab = assemble_kkt(plan, (di * di).astype(dtype))
+        L = factor(symb, Ab)
+
+        def Sinv(v):
+            return solve(symb, L, v)
+
+        if p:
+            SiAT = Sinv(A.T)
+            K = A @ SiAT
+            Lk = jnp.linalg.cholesky(K)
+
+        def kkt_solve(bx, by, bz):
+            zs = di * (di * bz)
+            r = bx + G.rmatvec(zs)
+            tv = Sinv(r)
+            if p:
+                rhs = A @ tv - by
+                w2 = jsl.solve_triangular(Lk, rhs, lower=True)
+                uy = jsl.solve_triangular(Lk.T, w2, lower=False)
+                ux = tv - SiAT @ uy
+            else:
+                uy = by
+                ux = tv
+            Wuz = di * (G.matvec(ux) - bz)
+            return ux, uy, Wuz
+
+        return kkt_solve
+
+    kktsolver.plan = plan
+    return kktsolver

@@ -84,3 +84,45 @@ def test_cholmod_api_routes_blocksparse():
     b = rng.standard_normal(1500)
     x = spsolve.solve(F, b)
     assert np.abs(S @ np.asarray(x) - b).max() < 1e-9
+
+
+def test_blocksparse_kktsolver_end_to_end():
+    """The general-sparsity kktsolver (fixed-pattern device assembly +
+    tile-map factor) through solvers.conelp on an arrow-patterned LP,
+    vs the dense path."""
+    import jax.numpy as jnp
+    from cvxopt_tpu.ops.blocksparse import kkt_chol2_blocksparse
+    from cvxopt_tpu.ops.sparse_kkt import _as_ops
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu import solvers
+    n = 200
+    rng = np.random.default_rng(0)
+    c = rng.standard_normal(n) * 0.1
+    rows, cols, vals, h = [], [], [], []
+    r = 0
+    for i in range(n):
+        rows += [r, r + 1]
+        cols += [i, i]
+        vals += [-1.0, 1.0]
+        h += [0.0, 1.0]
+        r += 2
+    for i in range(n - 1):            # hub coupling: arrow pattern
+        rows += [r, r]
+        cols += [i, n - 1]
+        vals += [0.3, 0.2]
+        h += [1.0]
+        r += 1
+    G = sp.coo_matrix((vals, (rows, cols)), shape=(r, n)).tocsr()
+    dims = ConeDims(l=r)
+    kkt = kkt_chol2_blocksparse(G, dims, t=16)
+    assert kkt.plan.symb.nnzb < 0.3 * kkt.plan.symb.nt ** 2
+    Gop = _as_ops(G, jnp.float64)
+    sol = solvers.conelp(jnp.asarray(c), Gop,
+                         jnp.asarray(np.asarray(h)), dims=dims,
+                         kktsolver=kkt, options={"maxiters": 30})
+    assert sol["status"] == "optimal"
+    ref = solvers.conelp(jnp.asarray(c), jnp.asarray(G.toarray()),
+                         jnp.asarray(np.asarray(h)), dims=dims,
+                         options={"maxiters": 30})
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               np.asarray(ref["x"]), atol=1e-7)
