@@ -308,21 +308,41 @@ def _as_ops(G_sp, dtype):
                           shape=ell.shape)
 
 
+def _pick_sparse_kkt(G_sp, dims, A, P_sp, dtype):
+    """Pattern-routed sparse kktsolver: banded when RCM can band the
+    Gram pattern (O(n kd^2)), tile-map blocksparse otherwise
+    (arrow/grid-fill patterns) — mirrors spsolve.symbolic's routing."""
+    Gpat = sp.csr_matrix(
+        (np.ones_like(sp.csr_matrix(G_sp).data),
+         sp.csr_matrix(G_sp).indices, sp.csr_matrix(G_sp).indptr),
+        shape=G_sp.shape)
+    Spat = Gpat.T @ Gpat
+    if P_sp is not None:
+        Spat = Spat + sp.csr_matrix(P_sp)
+    n = Spat.shape[0]
+    perm = rcm_order(Spat != 0)
+    kd = band_width_of(Spat != 0, perm)
+    if (kd + 1) * 4 < n:
+        return kkt_chol2_banded(G_sp, dims, A=A, P_sp=P_sp,
+                                dtype=dtype)
+    from cvxopt_tpu.ops.blocksparse import kkt_chol2_blocksparse
+    return kkt_chol2_blocksparse(G_sp, dims, A=A, P_sp=P_sp,
+                                 dtype=dtype)
+
+
 def lp_sparse(c, G_sp, h, A=None, b=None, options=None):
     """Solve a (large) sparse 'l'-cone LP end to end without
-    densifying G: operator-form G (ELL matvecs) + the banded
-    fixed-pattern kktsolver.  The sparse analogue of
-    solvers.lp(..., solver=None) for problems where dense G would not
-    fit (reference counterpart: conelp via CHOLMOD kkt_chol2)."""
+    densifying G: operator-form G (ELL matvecs) + the pattern-routed
+    fixed-pattern kktsolver (banded or tile-map).  The sparse analogue
+    of solvers.lp(..., solver=None) for problems where dense G would
+    not fit (reference counterpart: conelp via CHOLMOD kkt_chol2)."""
     from cvxopt_tpu import solvers
-    import jax
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G_sp = sp.csr_matrix(G_sp)
     m, n = G_sp.shape
-    dims = None
     from cvxopt_tpu.cones import ConeDims
     dims = ConeDims(l=m)
-    kkt = kkt_chol2_banded(G_sp, dims, A=A, dtype=dtype)
+    kkt = _pick_sparse_kkt(G_sp, dims, A, None, dtype)
     Gop = _as_ops(G_sp, dtype)
     return solvers.conelp(jnp.asarray(c, dtype), Gop,
                           jnp.asarray(h, dtype), dims=dims,
@@ -334,16 +354,15 @@ def lp_sparse(c, G_sp, h, A=None, b=None, options=None):
 
 
 def qp_sparse(P_sp, q, G_sp, h, A=None, b=None, options=None):
-    """Sparse-QP analogue of lp_sparse (coneqp + banded kktsolver;
-    P enters the band plan's pattern)."""
+    """Sparse-QP analogue of lp_sparse (coneqp + pattern-routed
+    kktsolver; P enters the symbolic pattern)."""
     from cvxopt_tpu import solvers
-    import jax
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G_sp = sp.csr_matrix(G_sp)
     P_sp = sp.csr_matrix(P_sp)
     from cvxopt_tpu.cones import ConeDims
     dims = ConeDims(l=G_sp.shape[0])
-    kkt = kkt_chol2_banded(G_sp, dims, A=A, P_sp=P_sp, dtype=dtype)
+    kkt = _pick_sparse_kkt(G_sp, dims, A, P_sp, dtype)
     Gop = _as_ops(G_sp, dtype)
     Pop = _as_ops(P_sp, dtype)
     return solvers.coneqp(Pop, jnp.asarray(q, dtype), Gop,
