@@ -591,12 +591,12 @@ def bench_markowitz(nb=64, n=500, maxiters=50):
 
 
 def bench_sparse(n=100_000):
-    """Sparse direct path (VERDICT item 3): an LP with n variables and
-    banded structure solved end-to-end through the RCM + fixed-pattern
-    banded-Cholesky kktsolver — never densifying G (dense would be
-    4e10 entries at this size).  Runs on the CPU backend: the claim is
-    O(n kd^2) structured scaling; long sequential scans are
-    host-shaped (a block-panel TPU variant is roadmap)."""
+    """Sparse direct path: an LP with n variables and banded structure
+    solved end-to-end through the RCM + fixed-pattern banded-Cholesky
+    kktsolver — never densifying G (dense would be 4e10 entries at
+    this size).  Two backends are timed: the CPU scalar-scan factor
+    (O(n kd^2) structured-scaling metric) and, on TPU, the block-panel
+    `pbtrf_blocked` factor (n/cb dense MXU panels, f64)."""
     import scipy.sparse as sp
     import jax
     from cvxopt_tpu.ops.sparse_kkt import lp_sparse
@@ -622,12 +622,25 @@ def bench_sparse(n=100_000):
     with jax.default_device(cpu):
         t0 = time.time()
         sol = lp_sparse(c, G, np.asarray(h),
-                        options={"maxiters": 30})
+                        options={"maxiters": 30}, method="scan")
         dt = time.time() - t0
-    return dict(n=n, m=r, status=sol["status"],
-                iterations=sol["iterations"],
-                solve_s=round(dt, 1), gap=sol["gap"],
-                device="cpu (structured-scaling metric)")
+    res = dict(n=n, m=r, status=sol["status"],
+               iterations=sol["iterations"],
+               solve_s=round(dt, 1), gap=sol["gap"],
+               device="cpu (structured-scaling metric)")
+    if jax.devices()[0].platform != "cpu":
+        try:
+            t0 = time.time()
+            sol2 = lp_sparse(c, G, np.asarray(h),
+                             options={"maxiters": 30},
+                             method="blocked")
+            res["tpu_blocked"] = dict(
+                status=sol2["status"],
+                iterations=sol2["iterations"],
+                solve_s=round(time.time() - t0, 1))
+        except Exception as e:                       # pragma: no cover
+            res["tpu_blocked"] = {"error": repr(e)[:160]}
+    return res
 
 
 def bench_cpu_baseline(n, tol, k=3, maxiters=50, repeats=2):

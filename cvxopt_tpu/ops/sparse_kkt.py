@@ -308,10 +308,13 @@ def _as_ops(G_sp, dtype):
                           shape=ell.shape)
 
 
-def _pick_sparse_kkt(G_sp, dims, A, P_sp, dtype):
+def _pick_sparse_kkt(G_sp, dims, A, P_sp, dtype, method="auto"):
     """Pattern-routed sparse kktsolver: banded when RCM can band the
     Gram pattern (O(n kd^2)), tile-map blocksparse otherwise
-    (arrow/grid-fill patterns) — mirrors spsolve.symbolic's routing."""
+    (arrow/grid-fill patterns) — mirrors spsolve.symbolic's routing.
+    `method` forwards to the banded factor ('scan'/'blocked'/'auto';
+    pass explicitly when jax.default_device overrides the backend —
+    jax.default_backend() does not see that override)."""
     Gpat = sp.csr_matrix(
         (np.ones_like(sp.csr_matrix(G_sp).data),
          sp.csr_matrix(G_sp).indices, sp.csr_matrix(G_sp).indptr),
@@ -324,13 +327,14 @@ def _pick_sparse_kkt(G_sp, dims, A, P_sp, dtype):
     kd = band_width_of(Spat != 0, perm)
     if (kd + 1) * 4 < n:
         return kkt_chol2_banded(G_sp, dims, A=A, P_sp=P_sp,
-                                dtype=dtype)
+                                dtype=dtype, method=method)
     from cvxopt_tpu.ops.blocksparse import kkt_chol2_blocksparse
     return kkt_chol2_blocksparse(G_sp, dims, A=A, P_sp=P_sp,
                                  dtype=dtype)
 
 
-def lp_sparse(c, G_sp, h, A=None, b=None, options=None):
+def lp_sparse(c, G_sp, h, A=None, b=None, options=None,
+              method="auto"):
     """Solve a (large) sparse 'l'-cone LP end to end without
     densifying G: operator-form G (ELL matvecs) + the pattern-routed
     fixed-pattern kktsolver (banded or tile-map).  The sparse analogue
@@ -342,7 +346,7 @@ def lp_sparse(c, G_sp, h, A=None, b=None, options=None):
     m, n = G_sp.shape
     from cvxopt_tpu.cones import ConeDims
     dims = ConeDims(l=m)
-    kkt = _pick_sparse_kkt(G_sp, dims, A, None, dtype)
+    kkt = _pick_sparse_kkt(G_sp, dims, A, None, dtype, method=method)
     Gop = _as_ops(G_sp, dtype)
     return solvers.conelp(jnp.asarray(c, dtype), Gop,
                           jnp.asarray(h, dtype), dims=dims,
