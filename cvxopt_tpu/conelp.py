@@ -145,7 +145,8 @@ def _tadd(a, b):
 def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                   n, p, dtype, maxiters, abstol, reltol, feastol,
                   refinement, show_progress, primalstart=None,
-                  dualstart=None, factor64=None, relres_trigger=True):
+                  dualstart=None, factor64=None, relres_trigger=True,
+                  detect_rescue=False):
     """The conelp algorithm with all linear maps abstracted as closures
     (coneprog.py:31-1437).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -161,7 +162,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
     # re-enters the warm-start pathology (see coneqp._coneqp_solve)
     cold = None
     warm = primalstart is not None and dualstart is not None
-    if not warm or factor64 is not None:
+    if not warm or factor64 is not None or detect_rescue:
         Wid = nt.identity_scaling(dims, dtype=dtype)
         f0 = factor(Wid)
         # solve [0 A' G'; A 0 0; G 0 -I][x;dy;-s] = [0;b;h]
@@ -540,7 +541,12 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         out["gap"] = sel(gap, gap2)
         return out
 
-    if factor64 is None:
+    if factor64 is None and detect_rescue:
+        # detection-only: flagged instances EXIT with STATUS_NEEDS_F64
+        # for host-side compaction (see coneqp._coneqp_solve — an
+        # in-jit vmapped rescue bills the whole batch per iteration)
+        final = lax.while_loop(cond, make_body(factor, True), state)
+    elif factor64 is None:
         final = lax.while_loop(cond, make_body(factor, False), state)
     else:
         # two-phase mixed-precision rescue; see coneqp._coneqp_solve.
@@ -696,14 +702,21 @@ def make_conelp_cascade(dims: ConeDims, kktsolver: str = "default",
     # 's' cones: f32 factors collapse the HSD gap while feasibility
     # drifts (even with the condition-halved 'qr'; measured on mcsdp),
     # so phase B factors straight f64 there — still only the few
-    # warm-started iterations below phase1_tol, with the cold-restart
-    # safety net for bad phase-A handoffs.  'l'/'q' phase B stays
-    # mixed-precision with the per-instance rescue.
+    # warm-started iterations below phase1_tol.  'l'/'q' phase B is
+    # mixed-precision.  Either way phase B is DETECTION-ONLY; flagged
+    # stragglers are compacted on the host into a small padded batch
+    # for the cold f64 phase C (see coneqp.make_coneqp_cascade).
     fd_b = "f64_restart" if dims.s else "rescue"
-    ws = make_conelp_ws(dims, kktsolver=kktsolver, maxiters=maxiters,
-                        abstol=abstol, reltol=reltol, feastol=feastol,
-                        refinement=max(1, refinement), kktreg=kktreg,
-                        factor_dtype=fd_b)
+    ws = make_conelp_ws_detect(
+        dims, kktsolver=kktsolver, maxiters=maxiters,
+        abstol=abstol, reltol=reltol, feastol=feastol,
+        refinement=max(1, refinement), kktreg=kktreg,
+        factor_dtype=fd_b)
+    kktsolver_r, _ = _resolve_opts(dims, kktsolver, refinement)
+    cold_core = make_conelp(
+        dims, kktsolver=kktmod.robust_name(kktsolver_r),
+        maxiters=maxiters, abstol=abstol, reltol=reltol,
+        feastol=feastol, refinement=max(1, refinement), kktreg=kktreg)
 
     data_axes = (0, None, None, None, None) if shared_GhAb \
         else (0, 0, 0, 0, 0)
@@ -712,6 +725,11 @@ def make_conelp_cascade(dims: ConeDims, kktsolver: str = "default",
         lambda c, G, h, A, b, x0, y0, z0: ws(c, G, h, A, b,
                                              x0, y0, z0),
         in_axes=data_axes + (0, 0, 0)))
+    vc = jax.jit(jax.vmap(cold_core, in_axes=data_axes))
+
+    out_keys = ("x", "y", "s", "z", "status", "gap", "relgap",
+                "pcost", "dcost", "pres", "dres", "pinfres",
+                "dinfres", "primal_slack", "dual_slack")
 
     def solve(c, G, h, A, b):
         raw_a = va(c, G, h, A, b)
@@ -732,9 +750,95 @@ def make_conelp_cascade(dims: ConeDims, kktsolver: str = "default",
         raw = dict(vb(c, G, h, A, b, x0, y0, z0))
         raw["iterations"] = raw["iterations"] + raw_a["iterations"]
         raw["phase1_iterations"] = raw_a["iterations"]
+
+        # ---- phase C: host-compacted cold f64 solve ------------------
+        status = np.asarray(raw["status"])
+        (flagged,) = np.nonzero(status == STATUS_NEEDS_F64)
+        raw["rescue_iterations"] = jnp.zeros_like(raw["iterations"])
+        if flagged.size:
+            nb = status.shape[0]
+            R = 1 << max(int(np.ceil(np.log2(flagged.size))), 0)
+            R = min(R, nb)
+            batches = []
+            rem = flagged
+            while rem.size:
+                k = min(rem.size, R)
+                idx = np.full((R,), rem[0], dtype=np.int64)
+                idx[:k] = rem[:k]
+                batches.append(idx)
+                rem = rem[k:]
+            resc = np.zeros((nb,), np.int32)
+            for idx in batches:
+                ii = jnp.asarray(idx)
+                if shared_GhAb:
+                    sub = vc(c[ii], G, h, A, b)
+                else:
+                    sub = vc(c[ii], G[ii], h[ii], A[ii], b[ii])
+                take = np.unique(idx, return_index=True)
+                src = jnp.asarray(take[1])
+                dst = jnp.asarray(take[0])
+                for k2 in out_keys:
+                    raw[k2] = raw[k2].at[dst].set(sub[k2][src])
+                resc[take[0]] = np.asarray(
+                    sub["iterations"])[take[1]]
+            raw["rescue_iterations"] = jnp.asarray(resc)
+            raw["iterations"] = raw["iterations"] + \
+                raw["rescue_iterations"]
         return raw
 
     return solve
+
+
+@functools.lru_cache(maxsize=128)
+def make_conelp_ws_detect(dims: ConeDims, kktsolver: str = "default",
+                          maxiters: int = 100, abstol: float = 1e-7,
+                          reltol: float = 1e-6, feastol: float = 1e-7,
+                          refinement: Optional[int] = None,
+                          kktreg: Optional[float] = None,
+                          factor_dtype: Optional[str] = None):
+    """`make_conelp_ws` in DETECTION-ONLY mode: the factor runs at the
+    requested precision ('rescue' -> f32, 'f64_restart'/None -> f64)
+    with the per-instance failure detectors active, and flagged
+    instances EXIT with the NEEDS_F64 status code for host-side
+    compaction (the cascade's phase C) instead of entering an in-jit
+    restart phase that bills the whole batch."""
+    kktsolver, refinement = _resolve_opts(dims, kktsolver, refinement)
+
+    def core(c, G, h, A, b, x0, y0, z0):
+        fd = {"rescue": "float32", "f64_restart": None,
+              None: None}[factor_dtype]
+        factor = kktmod.get_kktsolver(
+            (kktmod.robust_name(kktsolver) if fd is None
+             else kktsolver), G, dims, A, kktreg=kktreg,
+            factor_dtype=fd)
+        e = cones.cone_identity(dims, dtype=c.dtype)
+        s0 = h - G @ x0
+        ts = cones.max_step(s0, dims)
+        tz = cones.max_step(z0, dims)
+        ds = jnp.maximum(1.5 * ts, 0.0)
+        dz = jnp.maximum(1.5 * tz, 0.0)
+        s1 = s0 + ds * e
+        z1 = z0 + dz * e
+        mu = cones.sdot(s1, z1, dims)
+        ds = ds + 0.5 * mu / jnp.maximum(
+            cones.sdot(z1, e, dims), 1e-12)
+        dz = dz + 0.5 * mu / jnp.maximum(
+            cones.sdot(s1, e, dims), 1e-12)
+        s0 = s0 + ds * e
+        z0 = z0 + dz * e
+        return _conelp_solve(
+            dims, factor=factor, detect_rescue=True,
+            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
+            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
+            maxiters=maxiters, abstol=abstol, reltol=reltol,
+            feastol=feastol, refinement=refinement,
+            show_progress=False,
+            primalstart={"x": x0, "s": s0},
+            dualstart={"y": y0, "z": z0},
+            relres_trigger=_relres_trigger(dims, kktsolver))
+
+    return jax.jit(core)
 
 
 @functools.lru_cache(maxsize=128)
