@@ -77,21 +77,62 @@ def spmatrix(V, I, J, size=None, tc=None):
     return jxs.BCOO((jnp.asarray(V), jnp.asarray(idx)), shape=size)
 
 
+def _block_coo(B):
+    """Block -> (rows, cols, vals, shape) triplets WITHOUT densifying
+    sparse blocks."""
+    if isinstance(B, jxs.BCOO):
+        idx = np.asarray(B.indices)
+        return (idx[:, 0], idx[:, 1], np.asarray(B.data), B.shape)
+    if hasattr(B, "tocoo"):                  # scipy.sparse
+        coo = B.tocoo()
+        return (np.asarray(coo.row), np.asarray(coo.col),
+                np.asarray(coo.data), coo.shape)
+    D = np.asarray(B if not hasattr(B, "todense") else B.todense())
+    if D.ndim == 1:
+        D = D.reshape(-1, 1)
+    r, c = np.nonzero(D)
+    return r, c, D[r, c], D.shape
+
+
 def sparse(blocks, tc=None):
     """Sparsify a dense matrix, or assemble a block matrix from nested
     lists of blocks (base.c:979): sparse([[B11, B21], [B12, B22]])
-    where inner lists are block COLUMNS."""
-    if isinstance(blocks, (list, tuple)):
-        cols = []
-        for colblocks in blocks:
-            if not isinstance(colblocks, (list, tuple)):
-                colblocks = [colblocks]
-            cols.append(jnp.concatenate(
-                [_dense2(B) for B in colblocks], axis=0))
-        D = jnp.concatenate(cols, axis=1)
-    else:
-        D = _dense2(blocks)
-    return jxs.BCOO.fromdense(D)
+    where inner lists are block COLUMNS.  Sparse blocks (BCOO or
+    scipy.sparse) are assembled in triplet form — never densified —
+    so large structured block matrices stay sparse end to end."""
+    if not isinstance(blocks, (list, tuple)):
+        return jxs.BCOO.fromdense(_dense2(blocks))
+    rows, cols, vals = [], [], []
+    col_off = 0
+    nrows_total = 0
+    for colblocks in blocks:
+        if not isinstance(colblocks, (list, tuple)):
+            colblocks = [colblocks]
+        row_off = 0
+        width = None
+        for B in colblocks:
+            r, c, v, shp = _block_coo(B)
+            if width is None:
+                width = shp[1]
+            elif shp[1] != width:
+                raise ValueError("block column width mismatch")
+            rows.append(r + row_off)
+            cols.append(c + col_off)
+            vals.append(v)
+            row_off += shp[0]
+        nrows_total = max(nrows_total, row_off)
+        col_off += width if width is not None else 0
+    if not rows:
+        return jxs.BCOO.fromdense(jnp.zeros((0, 0)))
+    R = np.concatenate(rows)
+    C = np.concatenate(cols)
+    dt = complex if any(np.iscomplexobj(v) for v in vals) else float
+    V = np.concatenate([np.asarray(v, dtype=dt) for v in vals])
+    if tc == "z":
+        V = V.astype(np.complex128)
+    idx = np.stack([R, C], axis=1).astype(np.int32)
+    return jxs.BCOO((jnp.asarray(V), jnp.asarray(idx)),
+                    shape=(nrows_total, col_off))
 
 
 def spdiag(values):

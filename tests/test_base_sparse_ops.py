@@ -53,3 +53,19 @@ def test_symv():
     S = np.tril(A) + np.tril(A, -1).T
     np.testing.assert_allclose(np.asarray(base.symv(A, x)), S @ x,
                                atol=1e-12)
+
+
+def test_sparse_block_assembly_no_densify():
+    """base.sparse assembles mixed sparse/dense blocks in triplet form
+    (base.c:979) — a large sparse block matrix keeps O(nnz) storage."""
+    import scipy.sparse as sp
+    from cvxopt_tpu import base
+    n = 5000
+    D = sp.diags(np.arange(1.0, n + 1))          # 5k x 5k, nnz=5k
+    Icol = base.spmatrix(np.ones(n), np.arange(n), np.zeros(n),
+                         size=(n, 1))
+    M = base.sparse([[D], [Icol]])               # (5000, 5001)
+    assert M.shape == (n, n + 1)
+    assert M.nse == 2 * n                        # no densification
+    got = np.asarray(M.todense()[:3, :3])
+    assert np.allclose(got, np.diag([1.0, 2.0, 3.0]))
