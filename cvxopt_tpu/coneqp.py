@@ -434,6 +434,7 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
     def core(P, q, G, h, A, b):
         fd = factor_dtype
         factor_W64 = None
+        fname = kktsolver
         if fd == "rescue":
             rname = kktmod.robust_name(kktsolver)
             f64 = kktmod.get_kktsolver(rname, G, dims, A,
@@ -441,10 +442,18 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
             P64 = kktmod.wrap_P(rname, P)
             factor_W64 = lambda W: f64(W, P64)
             fd = "float32"
-        factor = kktmod.get_kktsolver(kktsolver, G, dims, A,
+            if (dims.q or dims.s) and kktsolver in (
+                    "chol", "chol2", "chol_inv", "chol2_inv"):
+                # q/s cones: an f32 Cholesky of the formed normal
+                # equations cannot reach 1e-7 (kappa(S) ~ 1/mu^2);
+                # the condition-halving QR factor can, so the mixed
+                # phase uses it and the f64 rescue becomes rare
+                fname = "cholqr_inv" if kktsolver.endswith("_inv") \
+                    else "cholqr"
+        factor = kktmod.get_kktsolver(fname, G, dims, A,
                                       kktreg=kktreg,
                                       factor_dtype=fd)
-        Pw = kktmod.wrap_P(kktsolver, P)
+        Pw = kktmod.wrap_P(fname, P)
         return _coneqp_solve(
             dims, factor_W=lambda W: factor(W, Pw),
             factor_W64=factor_W64,
@@ -454,7 +463,9 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
             q=q, h=h, b=b, n=q.shape[0], p=A.shape[0], dtype=q.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
-            correction=correction, show_progress=show_progress)
+            correction=correction, show_progress=show_progress,
+            relres_trigger=not ((dims.q or dims.s)
+                                and "cholqr" in fname))
 
     return jax.jit(core)
 
