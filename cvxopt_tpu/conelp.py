@@ -146,7 +146,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                   n, p, dtype, maxiters, abstol, reltol, feastol,
                   refinement, show_progress, primalstart=None,
                   dualstart=None, factor64=None, relres_trigger=True,
-                  detect_rescue=False):
+                  detect_rescue=False, debug=False):
     """The conelp algorithm with all linear maps abstracted as closures
     (coneprog.py:31-1437).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -498,6 +498,10 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         (x2, y2, s2, z2, tau2, kappa2, W2, lmbda2, dg2, lg2, gap2,
          relres) = upd
 
+        if debug:
+            # reference options['debug'] analogue (coneprog.py:1236)
+            jax.debug.print("debug: KKT relres after refinement = "
+                            "{r:9.2e}", r=relres)
         ok = (jnp.isfinite(gap2) & jnp.isfinite(tau2)
               & jnp.isfinite(jnp.sum(lmbda2)))
         if rescue:
@@ -626,7 +630,8 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
                 refinement: Optional[int] = None,
                 kktreg: Optional[float] = None,
                 factor_dtype: Optional[str] = None,
-                show_progress: bool = False):
+                show_progress: bool = False,
+                debug: bool = False):
     """Build the jitted conelp core for a fixed cone structure.
 
     Returns f(c, G, h, A, b) -> dict of result arrays.  Cached per
@@ -653,7 +658,7 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
-            show_progress=show_progress,
+            show_progress=show_progress, debug=debug,
             relres_trigger=_relres_trigger(dims, kktsolver))
 
     return jax.jit(core)
@@ -1000,7 +1005,8 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
             abstol=abstol, reltol=reltol, feastol=feastol,
             refinement=refinement, kktreg=opts.get("kktreg", None),
             factor_dtype=factor_dtype,
-            show_progress=show_progress)
+            show_progress=show_progress,
+            debug=bool(opts.get("debug", False)))
         raw = fn(c, G, h, A, b)
         return finalize_result(raw, dims)
 

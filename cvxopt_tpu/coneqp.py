@@ -51,7 +51,8 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
                   q, h, b, n, p, dtype, maxiters, abstol, reltol,
                   feastol, refinement, correction, show_progress,
                   initvals=None, factor_W64=None, refine_pred=True,
-                  relres_trigger=True, detect_rescue=False):
+                  relres_trigger=True, detect_rescue=False,
+                  debug=False):
     """The coneqp algorithm with all linear maps abstracted as closures
     (coneprog.py:1440-2547).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -308,6 +309,11 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         upd = _iteration(fW, x, y, s, z, W, lmbda, gap, rx, ry, rz)
         x2, y2, s2, z2, W2, lmbda2, gap2, relres = upd
 
+        if debug:
+            # reference options['debug'] analogue: the KKT solve's
+            # post-refinement relative residual (coneprog.py:1236)
+            jax.debug.print("debug: KKT relres after refinement = "
+                            "{r:9.2e}", r=relres)
         ok = jnp.isfinite(gap2) & jnp.isfinite(jnp.sum(lmbda2))
         if rescue:
             # diverging refinement far from convergence, or a singular
@@ -424,7 +430,8 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
                 kktreg: Optional[float] = None,
                 correction: bool = True,
                 factor_dtype: Optional[str] = None,
-                show_progress: bool = False):
+                show_progress: bool = False,
+                debug: bool = False):
     """Build the jitted coneqp core: f(P, q, G, h, A, b) -> result dict
     of arrays.  Cached per dims+options; the vmap entry point for the
     batched-scenario configurations."""
@@ -464,6 +471,7 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
             correction=correction, show_progress=show_progress,
+            debug=debug,
             relres_trigger=not ((dims.q or dims.s)
                                 and "cholqr" in fname))
 
@@ -694,7 +702,8 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None,
             refinement=refinement, kktreg=opts.get("kktreg", None),
             correction=correction,
             factor_dtype=factor_dtype,
-            show_progress=show_progress)
+            show_progress=show_progress,
+            debug=bool(opts.get("debug", False)))
         raw = fn(P, q, G, h, A, b)
         return finalize_qp_result(raw)
 
