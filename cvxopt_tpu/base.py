@@ -154,6 +154,41 @@ def spdiag(values):
     return jxs.BCOO.fromdense(jnp.diag(v))
 
 
+def matrix_tofile(M, f):
+    """Write a dense matrix's raw element bytes to an open binary file
+    (reference matrix.tofile, dense.c:1106): column-major element
+    stream, matching numpy's tofile of the Fortran-ordered buffer."""
+    f.write(np.ascontiguousarray(np.asarray(M).T).tobytes())
+
+
+def matrix_fromfile(f, size, tc="d"):
+    """Read a dense matrix written by `matrix_tofile` (dense.c
+    fromfile): `size` = (nrows, ncols), tc 'd'|'z'|'i'."""
+    dt = {"d": np.float64, "z": np.complex128, "i": np.int64}[tc]
+    m, n = size
+    a = np.frombuffer(f.read(m * n * np.dtype(dt).itemsize),
+                      dtype=dt)
+    return jnp.asarray(a.reshape(n, m).T)
+
+
+def spmatrix_tofile(S, f):
+    """Write a sparse matrix's triplets (I, J, V arrays back to back)
+    to an open binary file (sparse.c tofile semantics)."""
+    idx = np.asarray(S.indices)
+    f.write(np.ascontiguousarray(idx[:, 0], np.int64).tobytes())
+    f.write(np.ascontiguousarray(idx[:, 1], np.int64).tobytes())
+    f.write(np.ascontiguousarray(np.asarray(S.data)).tobytes())
+
+
+def spmatrix_fromfile(f, nnz, size, tc="d"):
+    """Read triplets written by `spmatrix_tofile`."""
+    dt = {"d": np.float64, "z": np.complex128}[tc]
+    I = np.frombuffer(f.read(nnz * 8), dtype=np.int64)
+    J = np.frombuffer(f.read(nnz * 8), dtype=np.int64)
+    V = np.frombuffer(f.read(nnz * np.dtype(dt).itemsize), dtype=dt)
+    return spmatrix(V, I, J, size=size)
+
+
 def _dense2(B):
     if hasattr(B, "todense"):
         B = B.todense()

@@ -69,3 +69,30 @@ def test_sparse_block_assembly_no_densify():
     assert M.nse == 2 * n                        # no densification
     got = np.asarray(M.todense()[:3, :3])
     assert np.allclose(got, np.diag([1.0, 2.0, 3.0]))
+
+
+def test_matrix_file_io_roundtrip():
+    """matrix/spmatrix tofile/fromfile (dense.c:1106, sparse.c tofile):
+    column-major raw-byte round-trips incl. complex."""
+    import io
+    from cvxopt_tpu import base
+    M = np.arange(6.0).reshape(2, 3)
+    buf = io.BytesIO()
+    base.matrix_tofile(M, buf)
+    buf.seek(0)
+    np.testing.assert_allclose(
+        np.asarray(base.matrix_fromfile(buf, (2, 3))), M)
+    Mz = M + 1j * M
+    buf = io.BytesIO()
+    base.matrix_tofile(Mz, buf)
+    buf.seek(0)
+    np.testing.assert_allclose(
+        np.asarray(base.matrix_fromfile(buf, (2, 3), tc="z")), Mz)
+    S = base.spmatrix([1.0, 2.0, 3.5], [0, 2, 1], [1, 0, 2],
+                      size=(3, 3))
+    buf = io.BytesIO()
+    base.spmatrix_tofile(S, buf)
+    buf.seek(0)
+    S2 = base.spmatrix_fromfile(buf, 3, (3, 3))
+    np.testing.assert_allclose(np.asarray(S2.todense()),
+                               np.asarray(S.todense()))
