@@ -76,3 +76,64 @@ def mindeg_order(indptr, indices, n: int) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return perm
+
+
+# ---- blockfill (symbolic block-Cholesky fill, blockfill.c) -----------
+
+_BF_PATH = os.path.join(_HERE, "_blockfill.so")
+_bf_lib = None
+_bf_tried = False
+
+
+def _bf_get():
+    global _bf_lib, _bf_tried
+    if _bf_lib is not None or _bf_tried:
+        return _bf_lib
+    _bf_tried = True
+    path = _BF_PATH
+    if not os.path.exists(path):
+        src = os.path.join(_HERE, "blockfill.c")
+        try:
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", path, src],
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.block_fill.restype = ctypes.c_long
+        lib.block_fill.argtypes = [
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+        ]
+        _bf_lib = lib
+    except Exception:
+        _bf_lib = None
+    return _bf_lib
+
+
+def block_fill(indptr, indices, nt: int):
+    """Native symbolic block-Cholesky fill (blockfill.c): CSR block
+    adjacency -> (colptr, cols) of the factor's block pattern
+    (diagonal first per column).  None when unavailable."""
+    lib = _bf_get()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    cap = max(64 * nt, int(indices.size) * 4 + nt)
+    for _ in range(4):
+        colptr = np.zeros(nt + 1, dtype=np.int64)
+        cols = np.zeros(cap, dtype=np.int64)
+        rc = lib.block_fill(nt, indptr, indices, colptr, cols, cap)
+        if rc == -1:
+            cap *= 4
+            continue
+        if rc < 0:
+            return None
+        return colptr, cols[:rc]
+    return None

@@ -85,13 +85,35 @@ def analyze(S, t: int = 32, perm: Optional[np.ndarray] = None
     for k in range(nt):
         adj[k].add(k)        # padded diagonals must exist
 
-    # symbolic block Cholesky: neighbors > k of k become a clique
-    Lcols = []
-    for k in range(nt):
-        nb = sorted(i for i in adj[k] if i > k)
-        Lcols.append([k] + nb)
-        for ix, i in enumerate(nb):
-            adj[i].update(j for j in nb[ix + 1:])
+    # symbolic block Cholesky: neighbors > k of k become a clique.
+    # The native bitset elimination (native/blockfill.c — the
+    # reference's in-C CHOLMOD-analyze role) runs when a toolchain is
+    # available; the Python set loop is the fallback (house pattern,
+    # misc.py:25-28).
+    Lcols = None
+    from cvxopt_tpu import native as _native
+    rows_csr = [[] for _ in range(nt)]
+    for a in range(nt):
+        for b in adj[a]:
+            rows_csr[a].append(b)
+    indptr = np.zeros(nt + 1, np.int64)
+    for a in range(nt):
+        indptr[a + 1] = indptr[a] + len(rows_csr[a])
+    indices = np.concatenate(
+        [np.asarray(sorted(r), np.int64) for r in rows_csr]) \
+        if nt else np.zeros(0, np.int64)
+    out = _native.block_fill(indptr, indices, nt)
+    if out is not None:
+        colptr, colsv = out
+        Lcols = [colsv[colptr[k]:colptr[k + 1]].tolist()
+                 for k in range(nt)]
+    if Lcols is None:
+        Lcols = []
+        for k in range(nt):
+            nb = sorted(i for i in adj[k] if i > k)
+            Lcols.append([k] + nb)
+            for ix, i in enumerate(nb):
+                adj[i].update(j for j in nb[ix + 1:])
 
     # slot numbering (column-major over the block pattern)
     slot = {}
