@@ -705,8 +705,7 @@ def main():
     large_ms = None
     if os.environ.get("BENCH_LARGE", "1") != "0":
         try:
-            large_ms = round(bench_large_kkt(
-                10240 if on_tpu else 2048) * 1e3, 1)
+            large_ms = bench_large_kkt(10240 if on_tpu else 2048)
         except Exception as e:                       # pragma: no cover
             large_ms = repr(e)[:200]
 
