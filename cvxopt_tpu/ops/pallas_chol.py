@@ -247,6 +247,16 @@ def fused_cholesky_solve(L, Dinv, B_rows):
 # support (re-enabling the batch-tiled kernels below verbatim) or a
 # one-kernel whole-factor design with implicit block spreads — left
 # as the documented round-3 candidate (ROADMAP).
+#
+# MEASURED (round 3, on device, scripts/tpu_pallas_measure.py at
+# B=1024/n=256 fused Schur assembly+factor, 'highest' precision):
+#   blockinv spd_inverse        79.4 ms   <- production path
+#   XLA chol + n-RHS inverse   106.1 ms
+#   pallas vmapped whole-factor 179.6 ms  (2.3x SLOWER than blockinv)
+#   pallas batch-tiled          Mosaic compile SIGABRT (3-D tiles)
+# The whole-factor kernel's sequential panel recurrence leaves the MXU
+# idle exactly as the round-2 paper analysis predicted; the measured
+# REJECTION stands and blockinv remains the production factor.
 
 
 def _unblocked_chol_b(A):
