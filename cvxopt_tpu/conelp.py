@@ -51,6 +51,7 @@ from cvxopt_tpu import kkt as kktmod
 import numpy as np
 
 from cvxopt_tpu.linops import LinearOperator
+from cvxopt_tpu.ops.matvec import mv, mvt
 
 STATUS_RUNNING = -1
 STATUS_OPTIMAL = 0
@@ -653,8 +654,8 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
                                       factor_dtype=fd)
         return _conelp_solve(
             dims, factor=factor, factor64=factor64,
-            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
-            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            Gf=lambda x: mv(G, x), GTf=lambda z: mvt(G, z),
+            Af=lambda x: mv(A, x), ATf=lambda y: mvt(A, y),
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
@@ -694,8 +695,8 @@ def make_conelp_cascade(dims: ConeDims, kktsolver: str = "default",
                                         kktreg=kktreg)
         raw = _conelp_solve(
             dims, factor=factor_a,
-            Gf=lambda x: G1 @ x, GTf=lambda z: G1.T @ z,
-            Af=lambda x: A1 @ x, ATf=lambda y: A1.T @ y,
+            Gf=lambda x: mv(G1, x), GTf=lambda z: mvt(G1, z),
+            Af=lambda x: mv(A1, x), ATf=lambda y: mvt(A1, y),
             c=c1, h=h1, b=b1, n=c.shape[0], p=A.shape[0], dtype=f32,
             maxiters=maxiters, abstol=max(phase1_tol, abstol),
             reltol=max(phase1_tol, reltol),
@@ -833,8 +834,8 @@ def make_conelp_ws_detect(dims: ConeDims, kktsolver: str = "default",
         z0 = z0 + dz * e
         return _conelp_solve(
             dims, factor=factor, detect_rescue=True,
-            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
-            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            Gf=lambda x: mv(G, x), GTf=lambda z: mvt(G, z),
+            Af=lambda x: mv(A, x), ATf=lambda y: mvt(A, y),
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
@@ -909,8 +910,8 @@ def make_conelp_ws(dims: ConeDims, kktsolver: str = "default",
         z0 = z0 + dz * e
         return _conelp_solve(
             dims, factor=factor, factor64=factor64,
-            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
-            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            Gf=lambda x: mv(G, x), GTf=lambda z: mvt(G, z),
+            Af=lambda x: mv(A, x), ATf=lambda y: mvt(A, y),
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
@@ -1085,7 +1086,7 @@ def _adv_runner(dims, n_var, p, fkey, factor_dtype, kktreg,
     def run(c, h, b, Gm, Am, ps, ds):
         dtype = jax.tree_util.tree_leaves(h)[0].dtype
         if Gop is None:
-            Gf, GTf = (lambda x: Gm @ x), (lambda z: Gm.T @ z)
+            Gf, GTf = (lambda x: mv(Gm, x)), (lambda z: mvt(Gm, z))
         elif isinstance(Gop, LinearOperator):
             Gf, GTf = Gop.mv, Gop.rmv
         else:
@@ -1093,8 +1094,8 @@ def _adv_runner(dims, n_var, p, fkey, factor_dtype, kktreg,
             GTf = lambda z: Gop(z, "T")
         if Aop is None:
             if hasattr(c, "shape"):
-                Af = lambda x: Am @ x
-                ATf = lambda y: Am.T @ y
+                Af = lambda x: mv(Am, x)
+                ATf = lambda y: mvt(Am, y)
             else:
                 Af = lambda x: jnp.zeros((0,), dtype)
                 ATf = lambda y: jax.tree_util.tree_map(

@@ -39,6 +39,7 @@ from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu import scaling as nt
 from cvxopt_tpu import kkt as kktmod
 from cvxopt_tpu.linops import LinearOperator
+from cvxopt_tpu.ops.matvec import mv, mvt, vdot
 from cvxopt_tpu.conelp import (
     STATUS_RUNNING, STATUS_OPTIMAL, STATUS_UNKNOWN_MAXITERS,
     STATUS_UNKNOWN_SINGULAR, STATUS_NEEDS_F64, STATUS_STRINGS,
@@ -237,7 +238,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         lam_full = cones.diag_embed(lmbda2, dims)
         s2 = nt.scale(lam_full, W2, dims, trans="T")
         z2 = nt.scale(lam_full, W2, dims, inverse="I")
-        gap2 = jnp.dot(lmbda2, lmbda2)
+        gap2 = vdot(lmbda2, lmbda2)
         return x, y, s2, z2, W2, lmbda2, gap2, jnp.maximum(rr1, rr2)
 
     def cond(st):
@@ -256,7 +257,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         # ---- residuals (coneprog.py:2169-2204) -----------------------
         Px = Pf(x)
         rx = Px + q + ATf(y) + GTf(z)
-        f0_ = 0.5 * (jnp.dot(x, Px) + jnp.dot(x, q))
+        f0_ = 0.5 * (vdot(x, Px) + vdot(x, q))
         resx = jnp.linalg.norm(rx)
         ry = Af(x) - b
         resy = jnp.linalg.norm(ry)
@@ -264,7 +265,7 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         resz = cones.snrm2(rz, dims)
 
         pcost = f0_
-        dcost = f0_ + jnp.dot(y, ry) + cones.sdot(z, rz, dims) - gap
+        dcost = f0_ + vdot(y, ry) + cones.sdot(z, rz, dims) - gap
         inf = jnp.asarray(jnp.inf, q.dtype)
         relgap = jnp.where(
             pcost < 0.0, gap / -pcost,
@@ -464,9 +465,9 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
         return _coneqp_solve(
             dims, factor_W=lambda W: factor(W, Pw),
             factor_W64=factor_W64,
-            Pf=lambda x: P @ x,
-            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
-            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            Pf=lambda x: mv(P, x),
+            Gf=lambda x: mv(G, x), GTf=lambda z: mvt(G, z),
+            Af=lambda x: mv(A, x), ATf=lambda y: mvt(A, y),
             q=q, h=h, b=b, n=q.shape[0], p=A.shape[0], dtype=q.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
@@ -539,9 +540,9 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
                                         kktreg=kktreg)
         raw = _coneqp_solve(
             dims, factor_W=lambda W: factor_a(W, P1),
-            Pf=lambda x: P1 @ x,
-            Gf=lambda x: G1 @ x, GTf=lambda z: G1.T @ z,
-            Af=lambda x: A1 @ x, ATf=lambda y: A1.T @ y,
+            Pf=lambda x: mv(P1, x),
+            Gf=lambda x: mv(G1, x), GTf=lambda z: mvt(G1, z),
+            Af=lambda x: mv(A1, x), ATf=lambda y: mvt(A1, y),
             q=q1, h=h1, b=b1, n=q.shape[0], p=A.shape[0], dtype=f32,
             maxiters=maxiters, abstol=max(phase1_tol, abstol),
             reltol=max(phase1_tol, reltol),
@@ -569,9 +570,9 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
         return _coneqp_solve(
             dims, factor_W=lambda W: factor_b(W, Pb),
             detect_rescue=True,
-            Pf=lambda x: P @ x,
-            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
-            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            Pf=lambda x: mv(P, x),
+            Gf=lambda x: mv(G, x), GTf=lambda z: mvt(G, z),
+            Af=lambda x: mv(A, x), ATf=lambda y: mvt(A, y),
             q=q, h=h, b=b, n=q.shape[0], p=A.shape[0], dtype=q.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement_b,
@@ -586,9 +587,9 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
         P64 = kktmod.wrap_P(rname, P)
         return _coneqp_solve(
             dims, factor_W=lambda W: f64fac(W, P64),
-            Pf=lambda x: P @ x,
-            Gf=lambda x: G @ x, GTf=lambda z: G.T @ z,
-            Af=lambda x: A @ x, ATf=lambda y: A.T @ y,
+            Pf=lambda x: mv(P, x),
+            Gf=lambda x: mv(G, x), GTf=lambda z: mvt(G, z),
+            Af=lambda x: mv(A, x), ATf=lambda y: mvt(A, y),
             q=q, h=h, b=b, n=q.shape[0], p=A.shape[0], dtype=q.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=max(1, refinement),
@@ -758,20 +759,20 @@ def _adv_qp_runner(dims, n, pdim, fkey, factor_dtype, kktreg,
     def run(Pm, q, Gm, h, Am, b, iv):
         dtype = q.dtype
         if Pop is None:
-            Pf = lambda x: Pm @ x
+            Pf = lambda x: mv(Pm, x)
         elif isinstance(Pop, LinearOperator):
             Pf = Pop.mv
         else:
             Pf = lambda x: Pop(x, "N")
         if Gop is None:
-            Gf, GTf = (lambda x: Gm @ x), (lambda z: Gm.T @ z)
+            Gf, GTf = (lambda x: mv(Gm, x)), (lambda z: mvt(Gm, z))
         elif isinstance(Gop, LinearOperator):
             Gf, GTf = Gop.mv, Gop.rmv
         else:
             Gf = lambda x: Gop(x, "N")
             GTf = lambda z: Gop(z, "T")
         if Aop is None:
-            Af, ATf = (lambda x: Am @ x), (lambda y_: Am.T @ y_)
+            Af, ATf = (lambda x: mv(Am, x)), (lambda y_: mvt(Am, y_))
         elif isinstance(Aop, LinearOperator):
             Af, ATf = Aop.mv, Aop.rmv
         else:

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cvxopt_tpu import cones
+from cvxopt_tpu.ops.matvec import mv, mvt, vdot
 from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu import scaling as nt
 from cvxopt_tpu import kkt as kktmod
@@ -146,13 +147,13 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
         if matrix_free:
             dftz0 = Df_rmv(x0, z[:mnl])
         else:
-            dftz0 = Df_fn(x0).T @ z[:mnl]
-        rx_init = c + A.T @ y + dftz0 + G.T @ z[mnl:]
+            dftz0 = mvt(Df_fn(x0), z[:mnl])
+        rx_init = c + mvt(A, y) + dftz0 + mvt(G, z[mnl:])
         resx_init = jnp.linalg.norm(rx_init)
         rznl_init = s[:mnl] + fx0
         resznl_init = jnp.linalg.norm(rznl_init)
-        ry_init = A @ x - b
-        rzl_init = s[mnl:] + G @ x - h
+        ry_init = mv(A, x) - b
+        rzl_init = s[mnl:] + mv(G, x) - h
         pres_init = jnp.sqrt(jnp.linalg.norm(ry_init) ** 2
                              + resznl_init ** 2
                              + cones.sdot(rzl_init, rzl_init, dims) )
@@ -205,22 +206,22 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             else:
                 Df = Df_fn(x)
                 H = H_fn(x, z[:mnl])
-                dftz = Df.T @ z[:mnl]
+                dftz = mvt(Df, z[:mnl])
 
             gap = cones.sdot(s, z, dims)
 
             # residuals (cvxprog.py:670-691)
-            rx = c + A.T @ y + dftz + G.T @ z[mnl:]
+            rx = c + mvt(A, y) + dftz + mvt(G, z[mnl:])
             resx = jnp.linalg.norm(rx)
-            ry = A @ x - b
+            ry = mv(A, x) - b
             resy = jnp.linalg.norm(ry)
             rznl = s[:mnl] + fx
             resznl = jnp.linalg.norm(rznl)
-            rzl = s[mnl:] + G @ x - h
+            rzl = s[mnl:] + mv(G, x) - h
             reszl = jnp.sqrt(cones.sdot(rzl, rzl, dims))
 
-            pcost = jnp.dot(c, x)
-            dcost = pcost + jnp.dot(y, ry) + jnp.dot(z[:mnl], rznl) \
+            pcost = vdot(c, x)
+            dcost = pcost + vdot(y, ry) + vdot(z[:mnl], rznl) \
                 + cones.sdot(z[mnl:], rzl, dims) - gap
             inf = jnp.asarray(jnp.inf, dtype)
             relgap = jnp.where(
@@ -316,7 +317,7 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
                     return H @ u
 
                 def DfT(v):
-                    return Df.T @ v
+                    return mvt(Df, v)
 
                 def Dfm(u):
                     return Df @ u
@@ -336,10 +337,10 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
             def resid4(ux, uy, uz, us, vx, vy, vz, vs):
                 # (cvxprog.py:889-923)
                 wz3 = nt.scale(uz, W, dims, inverse="I")
-                vx = vx - Hmul(ux) - A.T @ uy - DfT(wz3[:mnl]) \
-                    - G.T @ wz3[mnl:]
-                vy = vy - A @ ux
-                GGux = jnp.concatenate([Dfm(ux), G @ ux])
+                vx = vx - Hmul(ux) - mvt(A, uy) - DfT(wz3[:mnl]) \
+                    - mvt(G, wz3[mnl:])
+                vy = vy - mv(A, ux)
+                GGux = jnp.concatenate([Dfm(ux), mv(G, ux)])
                 vz = vz - GGux - nt.scale(us, W, dims, trans="T")
                 vs = vs - cones.sprod_diag(us + uz, lmbda, dims)
                 return vx, vy, vz, vs
@@ -385,8 +386,8 @@ def make_cpl(dims: ConeDims, f: Callable, kktsolver: str = "default",
                 if matrix_free:
                     ndftz = Df_rmv(newx, newz[:mnl])
                 else:
-                    ndftz = Df_fn(newx).T @ newz[:mnl]
-                newrx = c + A.T @ newy + ndftz + G.T @ newz[mnl:]
+                    ndftz = mvt(Df_fn(newx), newz[:mnl])
+                newrx = c + mvt(A, newy) + ndftz + mvt(G, newz[mnl:])
                 newresx = jnp.linalg.norm(newrx)
                 newresznl = jnp.linalg.norm(news[:mnl] + newf)
                 newgap = (1.0 - (1.0 - ctx["sigma"]) * step) \

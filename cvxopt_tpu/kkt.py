@@ -46,6 +46,7 @@ import jax.scipy.linalg as jsl
 
 from cvxopt_tpu.cones import ConeDims, pack, unpack, pack_matrix_cols
 from cvxopt_tpu.scaling import scale, scale_rows, scale_w2inv
+from cvxopt_tpu.ops.matvec import mv, mvt
 
 DEFAULT_SOLVERS = ("ldl", "ldl2", "qr", "chol", "chol2")
 
@@ -145,12 +146,12 @@ def kkt_ldl2(G, dims: ConeDims, A, mnl: int = 0,
 
         def solve(bx, by, bz):
             zs = scale_w2inv(bz, W, dims)
-            r = (bx + GG.T @ zs).astype(S.dtype)
+            r = (bx + mvt(GG, zs)).astype(S.dtype)
             u = jnp.concatenate([r, by.astype(S.dtype)])
             u = jsl.lu_solve((lu, piv), u)
             ux = u[:n].astype(io_dtype)
             uy = u[n:].astype(io_dtype)
-            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            Wuz = scale(mv(GG, ux) - bz, W, dims, trans="T", inverse="I")
             return ux, uy, Wuz
 
         return solve
@@ -239,7 +240,7 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
             # rhs r = bx + GG' W^{-1} W^{-T} bz via the unscaled GG
             # (shared across vmapped batches; see kkt_chol2.solve)
             zs = scale_w2inv(bz, W, dims)
-            r = (bx + GG.T @ zs).astype(S.dtype)
+            r = (bx + mvt(GG, zs)).astype(S.dtype)
             byf = by.astype(S.dtype)
             if p:
                 # v1 from A ux = by:  R' v1 = by
@@ -266,7 +267,7 @@ def kkt_chol(G, dims: ConeDims, A, mnl: int = 0,
             ux = ux.astype(io_dtype)
             uy = uy.astype(io_dtype)
             # W uz = W^{-T} (GG ux - bz)
-            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            Wuz = scale(mv(GG, ux) - bz, W, dims, trans="T", inverse="I")
             return ux, uy, Wuz
 
         return solve
@@ -370,7 +371,7 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
 
         def solve(bx, by, bz):
             zs = scale(bz, W, dims, trans="T", inverse="I")
-            r = bx + GG.T @ zs
+            r = bx + mvt(GG, zs)
             t = Sinv(r)
             if p:
                 rhs = A @ t - by
@@ -380,7 +381,7 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
             else:
                 uy = by
                 ux = t
-            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            Wuz = scale(mv(GG, ux) - bz, W, dims, trans="T", inverse="I")
             return ux, uy, Wuz
 
         return solve
@@ -453,7 +454,7 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
             # UNSCALED GG (Gs' (W^{-T}bz) == GG' (W^{-1}W^{-T}bz)): GG
             # is shared across a vmapped batch while Gs is per-instance
             zs = scale_w2inv(bz, W, dims)
-            r = (bx + GG.T @ zs).astype(S.dtype)
+            r = (bx + mvt(GG, zs)).astype(S.dtype)
             t = Sinv(r)
             if p:
                 rhs = A.astype(S.dtype) @ t - by.astype(S.dtype)
@@ -466,7 +467,7 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
                 ux = t
             ux = ux.astype(io_dtype)
             uy = uy.astype(io_dtype)
-            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            Wuz = scale(mv(GG, ux) - bz, W, dims, trans="T", inverse="I")
             return ux, uy, Wuz
 
         return solve
@@ -578,7 +579,7 @@ def kkt_cholqr(G, dims: ConeDims, A, mnl: int = 0,
             # r = bx + GG' W^{-1} W^{-T} bz via the unscaled GG
             # (shared across vmapped batches; see kkt_chol2.solve)
             zs = scale_w2inv(bz, W, dims)
-            r = (bx + GG.T @ zs).astype(fdt)
+            r = (bx + mvt(GG, zs)).astype(fdt)
             byf = by.astype(fdt)
             if p:
                 if explicit_inverse:
@@ -603,7 +604,7 @@ def kkt_cholqr(G, dims: ConeDims, A, mnl: int = 0,
                 uy = byf
             ux = ux.astype(io_dtype)
             uy = uy.astype(io_dtype)
-            Wuz = scale(GG @ ux - bz, W, dims, trans="T", inverse="I")
+            Wuz = scale(mv(GG, ux) - bz, W, dims, trans="T", inverse="I")
             return ux, uy, Wuz
 
         return solve
