@@ -6,9 +6,12 @@ TPU-native equivalents of the reference front-ends
 solution back into per-block pieces with the reference's result keys
 ('sl'/'sq'/'zl'/'zq' for socp, 'sl'/'ss'/'zl'/'zs' for sdp).
 
-External-solver dispatch (solver='glpk'/'mosek'/'dsdp') is not
-available on TPU; passing those names raises ValueError.  The default
-(None) path — the reference's own IPM — is fully supported.
+`solver='glpk'` dispatches to the native simplex (cvxopt_tpu.simplex —
+exact vertex solutions, reference dispatch semantics
+coneprog.py:2807-2875 reproduced: residuals recomputed from the
+returned vertex).  'mosek'/'dsdp' have no native counterpart and raise
+ValueError.  The default (None) path — the reference's own IPM — is
+fully supported.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu.conelp import conelp
 from cvxopt_tpu.coneqp import coneqp
 
-_EXTERNAL = ("glpk", "mosek", "dsdp")
+_EXTERNAL = ("mosek", "dsdp")
 
 
 def _check_solver(solver):
@@ -32,8 +35,76 @@ def _check_solver(solver):
         raise ValueError(f"invalid solver '{solver}'")
 
 
+def _lp_glpk(c, G, h, A, b, options):
+    """solver='glpk' branch of lp (coneprog.py:2807-2875): run the
+    native simplex, then recompute every result-dict field from the
+    vertex solution exactly as the reference does."""
+    from cvxopt_tpu import glpk as glpk_mod
+
+    opts = dict(glpk_mod.options)
+    opts.update((options or {}).get("glpk", {}))
+    c = np.asarray(c, dtype=float).reshape(-1)
+    n = c.shape[0]
+    G = np.asarray(G, dtype=float).reshape(-1, n)
+    h = np.asarray(h, dtype=float).reshape(-1)
+    m = G.shape[0]
+    has_A = A is not None
+    if has_A:
+        A = np.asarray(A, dtype=float).reshape(-1, n)
+        b = np.asarray(b, dtype=float).reshape(-1)
+    res = glpk_mod.lp(c, G, h, A if has_A else None,
+                      b if has_A else None, options=opts)
+    status, x = res[0], res[1]
+    z = res[2]
+    y = res[3] if has_A else (np.zeros((0,)) if status == "optimal"
+                              else None)
+    if not has_A:
+        A = np.zeros((0, n))
+        b = np.zeros((0,))
+
+    none = dict.fromkeys(
+        ("primal objective", "dual objective", "gap", "relative gap",
+         "primal infeasibility", "dual infeasibility", "primal slack",
+         "dual slack"))
+    out = {"status": status, "x": None, "s": None, "y": None,
+           "z": None,
+           "residual as primal infeasibility certificate": None,
+           "residual as dual infeasibility certificate": None}
+    out.update(none)
+    if status != "optimal":
+        return out
+
+    s = h - G @ x
+    gap = float(s @ z)
+    pcost = float(c @ x)
+    dcost = float(-h @ z - b @ y)
+    relgap = (gap / -pcost if pcost < 0.0
+              else gap / dcost if dcost > 0.0 else None)
+    resx0 = max(1.0, float(np.linalg.norm(c)))
+    resy0 = max(1.0, float(np.linalg.norm(b)))
+    resz0 = max(1.0, float(np.linalg.norm(h)))
+    rx = c + G.T @ z + A.T @ y
+    ry = b - A @ x
+    rz = G @ x + s - h
+    out.update({
+        "x": x, "s": s, "y": y, "z": z,
+        "primal objective": pcost, "dual objective": dcost,
+        "gap": gap, "relative gap": relgap,
+        "primal infeasibility": max(
+            float(np.linalg.norm(ry)) / resy0,
+            float(np.linalg.norm(rz)) / resz0),
+        "dual infeasibility": float(np.linalg.norm(rx)) / resx0,
+        "primal slack": float(np.min(s)) if m else 0.0,
+        "dual slack": float(np.min(z)) if m else 0.0,
+    })
+    return out
+
+
 def lp(c, G, h, A=None, b=None, solver=None, options=None, **kwargs):
-    """LP front-end (coneprog.py:2550): conelp with dims = {'l': m}."""
+    """LP front-end (coneprog.py:2550): conelp with dims = {'l': m},
+    or the native simplex under solver='glpk'."""
+    if solver == "glpk":
+        return _lp_glpk(c, G, h, A, b, options)
     _check_solver(solver)
     return conelp(c, G, h, dims=None, A=A, b=b, options=options)
 

@@ -51,14 +51,19 @@ def run_width(nb, chunks=1):
     mx = 0
     t0 = time.time()
     for r in range(chunks):
+        tc = time.time()
         P, q, G, h = gen(r + 2)
         out = solve(P, q, G, h, A, b)
         st = np.asarray(out['status'])
         it = np.asarray(out['iterations'])
-        resc += int(np.asarray(out['rescue_iterations']).sum())
+        rc = int(np.asarray(out['rescue_iterations']).sum())
+        resc += rc
         solved += int((st == 0).sum())
         ti += int(it.sum())
         mx = max(mx, int(it.max()))
+        if chunks > 1:
+            print(f'  chunk {r}: {time.time()-tc:.2f}s rescue={rc}',
+                  flush=True)
     dt = time.time() - t0
     print(f'nb={nb} chunks={chunks}: {dt:.2f}s total, iters {ti} '
           f'(max/inst {mx}), rescue {resc}, solved {solved}/{nb*chunks}, '

@@ -1,0 +1,152 @@
+"""Native simplex (cvxopt_tpu.simplex / glpk.lp surface) vs the IPM
+and vs hand-solvable LPs.  Reference contract:
+/root/reference/src/C/glpk.c:85 (status, x, z, y) and the
+solvers.lp(solver='glpk') dict assembly coneprog.py:2807-2875."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvxopt_tpu import glpk, solvers
+from cvxopt_tpu.simplex import make_simplex, simplex_core
+
+
+def test_doc_lp_vertex():
+    # doc LP: min -4x1 -5x2 s.t. 2x1+x2<=3, x1+2x2<=3, x>=0 -> x=[1,1]
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    status, x, z = glpk.lp(c, G, h)
+    assert status == "optimal"
+    np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-9)
+    # exact vertex: KKT holds to machine precision
+    np.testing.assert_allclose(c + G.T @ z, 0.0, atol=1e-9)
+    assert np.all(z >= -1e-12)
+    # complementary slackness
+    s = h - G @ x
+    np.testing.assert_allclose(s * z, 0.0, atol=1e-9)
+
+
+def test_equalities_and_duals():
+    rng = np.random.default_rng(3)
+    n, m, p = 8, 14, 2
+    A = rng.standard_normal((p, n))
+    x0 = rng.standard_normal(n)
+    b = A @ x0
+    G = np.concatenate([rng.standard_normal((m - n, n)), -np.eye(n)])
+    h = np.concatenate([G[:m - n] @ x0 + rng.uniform(0.5, 1.0, m - n),
+                        -x0 + rng.uniform(0.5, 1.0, n)])
+    c = rng.standard_normal(n)
+    status, x, z, y = glpk.lp(c, G, h, A, b)
+    if status == "dual infeasible":
+        return  # random instance may be unbounded; covered elsewhere
+    assert status == "optimal"
+    np.testing.assert_allclose(c + G.T @ z + A.T @ y, 0.0, atol=1e-8)
+    np.testing.assert_allclose(A @ x, b, atol=1e-8)
+    assert np.all(G @ x - h <= 1e-8)
+    # matches the IPM optimum
+    ipm = solvers.lp(c, G, h, A=A, b=b)
+    assert ipm["status"] == "optimal"
+    assert abs(float(c @ x) - ipm["primal objective"]) < 1e-5
+
+
+def test_primal_infeasible():
+    c = np.array([1.0])
+    G = np.array([[1.0], [-1.0]])
+    h = np.array([-1.0, -1.0])      # x <= -1 and x >= 1
+    status, x, z = glpk.lp(c, G, h)
+    assert status == "primal infeasible"
+    assert x is None and z is None
+
+
+def test_unbounded_is_dual_infeasible():
+    c = np.array([-1.0])
+    G = np.array([[-1.0]])          # x >= 0, min -x
+    h = np.array([0.0])
+    status, x, z = glpk.lp(c, G, h)
+    assert status == "dual infeasible"
+
+
+def test_degenerate_lp():
+    # multiple constraints active at the optimum (degenerate vertex)
+    c = np.array([-1.0, -1.0])
+    G = np.array([[1., 0.], [0., 1.], [1., 1.], [-1., 0.], [0., -1.]])
+    h = np.array([1., 1., 2., 0., 0.])
+    status, x, z = glpk.lp(c, G, h)
+    assert status == "optimal"
+    np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-9)
+
+
+def test_solvers_lp_glpk_dispatch():
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    sol = solvers.lp(c, G, h, solver="glpk")
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]).ravel(), [1., 1.],
+                               atol=1e-9)
+    assert sol["gap"] < 1e-9
+    assert sol["primal infeasibility"] < 1e-9
+    assert sol["dual infeasibility"] < 1e-9
+    assert sol["primal slack"] >= -1e-12
+    # infeasible through the dispatch: None fields, reference semantics
+    sol = solvers.lp(np.array([1.0]), np.array([[1.0], [-1.0]]),
+                     np.array([-1.0, -1.0]), solver="glpk")
+    assert sol["status"] == "primal infeasible"
+    assert sol["x"] is None and sol["gap"] is None
+
+
+def test_it_lim_option():
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    status, *_ = glpk.lp(c, G, h, options={"it_lim": 1})
+    assert status == "unknown"
+
+
+def test_batched_vmap_simplex():
+    """The TPU-native mode: one jitted program, a batch axis of LPs."""
+    rng = np.random.default_rng(7)
+    nb, n, m = 16, 6, 12
+    c = rng.standard_normal((nb, n))
+    x0 = rng.standard_normal((nb, n))
+    G = np.concatenate(
+        [rng.standard_normal((nb, m - n, n)),
+         np.broadcast_to(-np.eye(n), (nb, n, n))], axis=1)
+    slack = rng.uniform(0.5, 1.5, (nb, m))
+    h = np.einsum("bij,bj->bi", G, x0) + slack
+    A = np.zeros((nb, 0, n))
+    b = np.zeros((nb, 0))
+    run = make_simplex(n, m, 0, 2000, batched=True)
+    code, x, z, y = run(jnp.asarray(c), jnp.asarray(G),
+                        jnp.asarray(h), jnp.asarray(A), jnp.asarray(b))
+    code = np.asarray(code)
+    x = np.asarray(x)
+    for k in range(nb):
+        if code[k] == 2:           # unbounded instance: legitimate
+            continue
+        assert code[k] == 0, code
+        assert np.all(G[k] @ x[k] - h[k] <= 1e-7)
+        np.testing.assert_allclose(
+            c[k] + G[k].T @ np.asarray(z)[k], 0.0, atol=1e-7)
+    # cross-check a solved instance against the IPM
+    ks = np.nonzero(code == 0)[0]
+    assert ks.size >= nb // 2
+    k = int(ks[0])
+    ipm = solvers.lp(c[k], G[k], h[k])
+    assert abs(float(c[k] @ x[k]) - ipm["primal objective"]) < 1e-5
+
+
+def test_redundant_rows():
+    # duplicated equality rows leave an artificial basic in a redundant
+    # row; the solution must still be clean
+    c = np.array([1.0, 2.0])
+    A = np.array([[1.0, 1.0], [1.0, 1.0]])
+    b = np.array([1.0, 1.0])
+    G = -np.eye(2)
+    h = np.zeros(2)
+    status, x, z, y = glpk.lp(c, G, h, A, b)
+    assert status == "optimal"
+    np.testing.assert_allclose(x, [1.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(A @ x, b, atol=1e-12)
