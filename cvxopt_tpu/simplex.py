@@ -6,23 +6,39 @@ coneprog.py:2807-2875).
 The reference delegates to GLPK's C simplex for exact vertex
 solutions.  The TPU-native equivalent is a jax implementation designed
 for the platform rather than a binding: the whole solve is one
-`lax.while_loop` over fixed-shape dense state (basis inverse, basic
-values, index sets), so it jits once and — unlike any C simplex —
-**vmaps across problem batches**, amortizing the pivot latency exactly
-the way the batched IPM cores do.
+`lax.while_loop` over fixed-shape state, so it jits once and — unlike
+any C simplex — **vmaps across problem batches**, amortizing pivot
+latency exactly the way the batched IPM cores do.
 
 Formulation (matching glpk.lp):
 
     minimize c'x   s.t.  G x <= h,  A x = b          (x free)
 
 Standard form: free x is split x = x+ - x- (all columns lb=0), slacks
-are appended for the G rows, and a full artificial identity provides
-the phase-1 basis; rows are sign-scaled so the rhs is nonnegative.
+are appended for the G rows, artificials complete the phase-1 crash
+basis (slacks serve where the rhs sign allows), rows are sign-scaled
+to a nonnegative rhs, and the data is max-norm equilibrated (boeing2-
+class dynamic range defeats fixed pivot tolerances otherwise).
 
-Per pivot: duals y = Binv' c_B, reduced costs d = c - W'y (one (m,
-ncols) matvec), Dantzig pricing with a Bland's-rule fallback after a
-run of degenerate steps (anti-cycling), textbook ratio test, and a
-product-form (eta) basis-inverse update — all fixed-shape jax ops.
+Numerical design — STATELESS pivots: each iteration refactorizes the
+basis from scratch (QR; f64-portable — TPU has no f64 LU lowering)
+instead of carrying product-form eta updates.  Measured on boeing2
+(NETLIB, 382 rows): eta updates + periodic refactorization let the
+inverse drift to 1e14 across degenerate-pivot runs and every
+tolerance heuristic downstream collapses; the fresh-QR loop solves it
+in 522 pivots to pinf 1e-10 / dinf 1e-13 with no growth heuristics,
+no pivot banning and no artificial drive-out pass at all.  O(m^3) per
+pivot is the honest price: this surface exists for exact-vertex
+parity (the IPM cores are the performance path), and the batched-
+vmap mode targets small LPs where the cube is trivial.
+
+Pricing: Dantzig (most negative reduced cost) with Bland's rule
+engaging after a run of degenerate steps (anti-cycling).  Ratio test:
+two-pass Harris — pass 1 relaxes each bound by a feasibility
+tolerance, pass 2 picks the largest-|pivot| row under the relaxed
+bound.  Basic artificials are zero-capped in phase 2 (rows where a
+pivot would RAISE one also block, forcing a degenerate pivot that
+ejects it), which subsumes the classical drive-out pass.
 
 Returns the glpk.lp tuple (status, x, z, y) with duals satisfying
 c + G'z + A'y = 0, z >= 0 at optimality.  Statuses: 'optimal',
@@ -37,13 +53,13 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 from jax import lax
 
 from cvxopt_tpu.ops.matvec import mv, mvt
 
 __all__ = ["simplex_core", "make_simplex", "lp"]
 
-_TOL = 1e-9
 _BLAND_AFTER = 25      # degenerate steps before Bland's rule kicks in
 
 # status codes (core)
@@ -52,74 +68,86 @@ _STATUS = {OPTIMAL: "optimal", PRIMAL_INFEASIBLE: "primal infeasible",
            DUAL_INFEASIBLE: "dual infeasible", UNKNOWN: "unknown"}
 
 
-def _phase(W, cost, enter_ok, basis, Binv, xB, maxiters):
+def _binv_xb(W, basis, r):
+    """Fresh basis inverse + basic values via QR (see module
+    docstring: stateless pivots are the stability design)."""
+    B = W[:, basis]
+    Q, R = jnp.linalg.qr(B)
+    Binv = jsl.solve_triangular(R, jnp.swapaxes(Q, -1, -2),
+                                lower=False)
+    return Binv, mv(Binv, r)
+
+
+def _phase(W, r, cost, enter_ok, basis, maxiters, cap_art=None):
     """One simplex phase: minimize cost'x over {W x = r, x >= 0}
-    starting from the given basis.  Returns (basis, Binv, xB, code)
-    where code is OPTIMAL (no entering column) or DUAL_INFEASIBLE
-    (unbounded ray) or UNKNOWN (iteration cap)."""
+    from the given basis.  ``cap_art`` marks zero-capped columns
+    (phase-2 artificials).  Returns (basis, code)."""
     m, ncols = W.shape
     idx = jnp.arange(ncols)
+    dtol = 1e-9 * (1.0 + jnp.max(jnp.abs(cost)))
+    wtol = 1e-7
 
     def cond(st):
-        it, code = st[3], st[5]
+        basis, it, degen, code = st
         return (code < 0) & (it < maxiters)
 
     def body(st):
-        basis, Binv, xB, it, degen = st[0], st[1], st[2], st[3], st[4]
+        basis, it, degen, code = st
+        Binv, xB = _binv_xb(W, basis, r)
+        xp = jnp.maximum(xB, 0.0)
         in_basis = jnp.zeros((ncols,), bool).at[basis].set(True)
-        cB = cost[basis]
-        y = mvt(Binv, cB)                    # Binv' cB
-        d = cost - mvt(W, y)                 # reduced costs
-        elig = (~in_basis) & enter_ok & (d < -_TOL)
+        y = mvt(Binv, cost[basis])
+        d = cost - mvt(W, y)
+        elig = (~in_basis) & enter_ok & (d < -dtol)
         any_elig = jnp.any(elig)
 
-        # Dantzig (most negative d) vs Bland (smallest index) pricing
+        use_bland = degen >= _BLAND_AFTER
         j_dantzig = jnp.argmin(jnp.where(elig, d, jnp.inf))
         j_bland = jnp.argmin(jnp.where(elig, idx, ncols))
-        use_bland = degen >= _BLAND_AFTER
         j = jnp.where(use_bland, j_bland, j_dantzig)
 
         w = mv(Binv, W[:, j])
-        blocked = w > _TOL
-        ratios = jnp.where(blocked, xB / jnp.maximum(w, _TOL), jnp.inf)
-        t = jnp.min(ratios)
+        ptol = 1e-9 * (1.0 + jnp.max(xp))
+        bu = w > wtol
+        if cap_art is not None:
+            bd = cap_art[basis] & (w < -wtol)
+        else:
+            bd = jnp.zeros((m,), bool)
+        blocked = bu | bd
         unbounded = ~jnp.any(blocked)
-        # leaving row: min ratio; ties by smallest basis index (Bland)
-        near = ratios <= t * (1.0 + 1e-12) + 1e-30
-        i = jnp.argmin(jnp.where(near & blocked, basis, ncols))
 
-        # eta update: Binv <- E Binv, xB <- E xB with pivot (i, j)
-        wi = w[i]
-        eta = -w / wi
-        eta = eta.at[i].set(1.0 / wi)
-        Binv2 = Binv + jnp.outer(eta, Binv[i])
-        Binv2 = Binv2.at[i].set(Binv[i] / wi)
-        xB2 = xB - t * w
-        xB2 = xB2.at[i].set(t)
+        wsafe_u = jnp.where(bu, w, 1.0)
+        wsafe_d = jnp.where(bd, w, 1.0)
+        # Harris pass 1: tolerance-relaxed bound
+        rel = jnp.where(bu, (xp + ptol) / wsafe_u, jnp.inf)
+        rel = jnp.where(
+            bd, jnp.maximum(xp / wsafe_d, 0.0) + ptol / jnp.abs(wsafe_d),
+            rel)
+        tb = jnp.min(rel)
+        # Harris pass 2: exact ratios; largest |pivot| under the bound
+        rat = jnp.where(bu, xp / wsafe_u, jnp.inf)
+        rat = jnp.where(bd, jnp.maximum(xp / wsafe_d, 0.0), rat)
+        cand = blocked & (rat <= tb)
+        i_harris = jnp.argmax(jnp.where(cand, jnp.abs(w), -jnp.inf))
+        i_bland = jnp.argmin(jnp.where(cand, basis, ncols))
+        i = jnp.where(use_bland, i_bland, i_harris)
+        t = jnp.maximum(rat[i], 0.0)
+
         basis2 = basis.at[i].set(j.astype(basis.dtype))
-        degen2 = jnp.where(t <= _TOL, degen + 1, 0).astype(jnp.int32)
+        degen2 = jnp.where(t <= 1e-11, degen + 1, 0).astype(jnp.int32)
 
-        code = jnp.where(~any_elig, OPTIMAL,
-                         jnp.where(unbounded, DUAL_INFEASIBLE,
-                                   -1)).astype(jnp.int32)
-        # when exiting, keep the pre-pivot state
-        take = code < 0
-        basis3 = jnp.where(take, basis2, basis)
-        Binv3 = jnp.where(take, Binv2, Binv)
-        xB3 = jnp.where(take, xB2, xB)
-        return (basis3, Binv3, xB3, it + 1,
-                jnp.where(take, degen2, degen), code)
+        code2 = jnp.where(~any_elig, OPTIMAL,
+                          jnp.where(unbounded, DUAL_INFEASIBLE,
+                                    -1)).astype(jnp.int32)
+        take = code2 < 0
+        return (jnp.where(take, basis2, basis), it + 1,
+                jnp.where(take, degen2, degen), code2)
 
-    def body_wrap(st):
-        basis, Binv, xB, it, degen, code = body(
-            (st[0], st[1], st[2], st[3], st[4]))
-        return (basis, Binv, xB, it, degen, code)
-
-    st = (basis, Binv, xB, jnp.asarray(0, jnp.int32),
-          jnp.asarray(0, jnp.int32), jnp.asarray(-1, jnp.int32))
-    basis, Binv, xB, it, _, code = lax.while_loop(cond, body_wrap, st)
+    st = (basis, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+          jnp.asarray(-1, jnp.int32))
+    basis, it, _, code = lax.while_loop(cond, body, st)
     code = jnp.where(code < 0, UNKNOWN, code)
-    return basis, Binv, xB, code
+    return basis, code
 
 
 def simplex_core(c, G, h, A, b, maxiters):
@@ -129,81 +157,69 @@ def simplex_core(c, G, h, A, b, maxiters):
     mG = G.shape[0]
     p = A.shape[0]
     m = mG + p
-    dt = c.dtype
+    dt = jnp.asarray(c).dtype
 
-    r = jnp.concatenate([h, b])
-    sgn = jnp.where(r < 0, -1.0, 1.0).astype(dt)
-    # rows: [G I; A 0], sign-scaled; columns: x+ | x- | slack | artif
+    GA = jnp.concatenate([G, A], axis=0)
+    r0 = jnp.concatenate([h, b])
+
+    # ---- max-norm equilibration --------------------------------------
+    def _guard(v):
+        return jnp.where(v > 1e-300, v, 1.0)
+
+    if m and n:
+        rs = 1.0 / _guard(jnp.max(jnp.abs(GA), axis=1))
+        cs = 1.0 / _guard(jnp.max(jnp.abs(GA * rs[:, None]), axis=0))
+    else:
+        rs = jnp.ones((m,), dt)
+        cs = jnp.ones((n,), dt)
+    GA = GA * rs[:, None] * cs[None, :]
+    r0 = r0 * rs
+    cobj = jnp.asarray(c) * cs
+
+    sgn = jnp.where(r0 < 0, -1.0, 1.0).astype(dt)
+    # rows: [G I; A 0], sign-scaled; columns: x+ | x- | slack | artif.
+    # The artificial identity is NOT sign-scaled: its columns must be
+    # +e_i so the crash basis has value r_i >= 0 (a sgn-scaled
+    # artificial column would be -e_i on negative-rhs rows and the
+    # "feasible" artificial start would carry negative basics).
     S = jnp.concatenate(
         [jnp.eye(mG, dtype=dt), jnp.zeros((p, mG), dt)], axis=0)
-    GA = jnp.concatenate([G, A], axis=0)
-    W = jnp.concatenate([GA, -GA, S, jnp.eye(m, dtype=dt)], axis=1)
-    W = W * sgn[:, None]
-    r = r * sgn
+    W = jnp.concatenate([GA, -GA, S], axis=1) * sgn[:, None]
+    W = jnp.concatenate([W, jnp.eye(m, dtype=dt)], axis=1)
+    r = r0 * sgn
     ncols = 2 * n + mG + m
     nreal = 2 * n + mG
 
-    art = jnp.arange(nreal, ncols)
-    basis0 = art.astype(jnp.int32)
-    Binv0 = jnp.eye(m, dtype=dt)
-    xB0 = r
+    # ---- crash basis: slacks where the sign allows -------------------
+    row_idx = jnp.arange(m)
+    slack_ok = (row_idx < mG) & (sgn > 0)
+    basis0 = jnp.where(slack_ok, 2 * n + row_idx,
+                       nreal + row_idx).astype(jnp.int32)
 
     col_idx = jnp.arange(ncols)
     is_art = col_idx >= nreal
 
     # ---- phase 1: minimize sum of artificials ------------------------
     c1 = jnp.where(is_art, 1.0, 0.0).astype(dt)
-    basis, Binv, xB, code1 = _phase(W, c1, ~is_art, basis0, Binv0, xB0,
-                                    maxiters)
-    infeas = jnp.sum(jnp.where(is_art[basis], xB, 0.0))
+    basis, code1 = _phase(W, r, c1, ~is_art, basis0, maxiters)
+    _, xB1 = _binv_xb(W, basis, r)
+    infeas = jnp.sum(jnp.where(is_art[basis], jnp.maximum(xB1, 0.0),
+                               0.0))
     feas_ok = infeas <= 1e-7 * (1.0 + jnp.linalg.norm(r))
 
-    # ---- drive basic artificials out (degenerate pivots) -------------
-    # An artificial left basic at 0 whose Binv-row is NOT orthogonal to
-    # the real columns could re-grow during phase 2 (ratio tests only
-    # block on w_i > 0); pivot each such row onto its largest real
-    # column.  Rows that are zero across the real columns are redundant
-    # constraints: their artificial stays basic at 0 forever (every
-    # entering direction has w_i = 0) and, with zero cost, never
-    # pollutes the duals.
-    Wreal = W[:, :nreal]
-
-    def drive_out(i, st):
-        basis, Binv, xB = st
-        row = mvt(Wreal, Binv[i])                        # e_i' Binv W
-        in_b = jnp.zeros((ncols,), bool).at[basis].set(True)
-        row = jnp.where(in_b[:nreal], 0.0, row)          # skip basics
-        j = jnp.argmax(jnp.abs(row))
-        ok = is_art[basis[i]] & (jnp.abs(row[j]) > 1e-8)
-
-        def pivot(args):
-            basis, Binv, xB = args
-            w = mv(Binv, W[:, j])
-            wi = w[i]
-            eta = -w / wi
-            Binv2 = Binv + jnp.outer(eta, Binv[i])
-            Binv2 = Binv2.at[i].set(Binv[i] / wi)
-            xB2 = xB - xB[i] / wi * w
-            xB2 = xB2.at[i].set(xB[i] / wi)
-            return basis.at[i].set(j.astype(basis.dtype)), Binv2, xB2
-
-        return lax.cond(ok, pivot, lambda a: a, (basis, Binv, xB))
-
-    basis, Binv, xB = lax.fori_loop(0, m, drive_out, (basis, Binv, xB))
-
-    # ---- phase 2: the real costs (artificials barred) ----------------
-    c2 = jnp.concatenate([jnp.asarray(c), -jnp.asarray(c),
-                          jnp.zeros((mG + m,), dt)])
+    # ---- phase 2: real costs; basic artificials zero-capped ----------
+    c2 = jnp.concatenate([cobj, -cobj, jnp.zeros((mG + m,), dt)])
     c2 = jnp.where(is_art, 0.0, c2)
-    basis, Binv, xB, code2 = _phase(W, c2, ~is_art, basis, Binv, xB,
-                                    maxiters)
+    basis, code2 = _phase(W, r, c2, ~is_art, basis, maxiters,
+                          cap_art=is_art)
 
-    # ---- extraction --------------------------------------------------
+    # ---- extraction (undo sign + equilibration scalings) -------------
+    Binv, xB = _binv_xb(W, basis, r)
     xfull = jnp.zeros((ncols,), dt).at[basis].set(xB)
-    x = xfull[:n] - xfull[n:2 * n]
+    x = (xfull[:n] - xfull[n:2 * n]) * cs
     y_s = mvt(Binv, c2[basis])           # duals in sign-scaled space
-    z = -sgn[:mG] * y_s[:mG]
-    y = -sgn[mG:] * y_s[mG:]
+    z = -sgn[:mG] * y_s[:mG] * rs[:mG]
+    y = -sgn[mG:] * y_s[mG:] * rs[mG:]
     z = jnp.maximum(z, 0.0)              # clip pivot-tolerance dust
 
     code = jnp.where(

@@ -150,3 +150,19 @@ def test_redundant_rows():
     assert status == "optimal"
     np.testing.assert_allclose(x, [1.0, 0.0], atol=1e-9)
     np.testing.assert_allclose(A @ x, b, atol=1e-12)
+
+
+def test_boeing2_via_simplex():
+    """boeing2.mps (166 rows, 143 cols) through the native simplex:
+    same NETLIB objective as the IPM path, exact vertex."""
+    import os
+    from cvxopt_tpu.mpsio import mps_load
+    d = mps_load(os.path.join(os.path.dirname(__file__), "data",
+                              "boeing2.mps"))
+    c, G, h, A, b = d.to_lp()
+    sol = solvers.lp(c, G, h, A=A, b=b, solver="glpk",
+                     options={"glpk": {"it_lim": 20000}})
+    assert sol["status"] == "optimal"
+    assert abs(sol["primal objective"] - (-315.0187280)) < 1e-3
+    assert sol["primal infeasibility"] < 1e-7
+    assert sol["dual infeasibility"] < 1e-7
