@@ -740,19 +740,22 @@ def main():
         except Exception as e:                       # pragma: no cover
             sdp = {"error": repr(e)[:200]}
 
-    sparse = None
-    if os.environ.get("BENCH_SPARSE", "1") != "0":
-        try:
-            sparse = bench_sparse(100_000 if on_tpu else 20_000)
-        except Exception as e:                       # pragma: no cover
-            sparse = {"error": repr(e)[:200]}
-
     mark = None
     if on_tpu and os.environ.get("BENCH_MARKOWITZ", "1") != "0":
         try:
             mark = bench_markowitz()
         except Exception as e:                       # pragma: no cover
             mark = {"error": repr(e)[:200]}
+
+    # sparse runs LAST: the TPU block-panel attempt has crashed the
+    # remote TPU worker (BENCH_r03 first run), and a dead worker fails
+    # every subsequent device bench in this process
+    sparse = None
+    if os.environ.get("BENCH_SPARSE", "1") != "0":
+        try:
+            sparse = bench_sparse(100_000 if on_tpu else 20_000)
+        except Exception as e:                       # pragma: no cover
+            sparse = {"error": repr(e)[:200]}
 
     result = {
         "metric": "batched_qp_ipm_iters_per_s_at_1e-7",
