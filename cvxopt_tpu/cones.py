@@ -31,6 +31,8 @@ from typing import Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+from cvxopt_tpu.ops.jacobi import eigh_accurate
+
 
 Array = jnp.ndarray
 
@@ -471,7 +473,10 @@ def max_step(x: Array, dims: ConeDims) -> Array:
         ts.append(jnp.max(t, axis=-1))
     for run in dims.s_runs:
         X = sview(x, run)
-        w = jnp.linalg.eigvalsh(X)                       # ascending
+        # eigh_accurate: the emulated-f64 eigh on the TPU backend is
+        # f32-grade (ops/jacobi.py block comment); lambda_min feeds
+        # step lengths and interiority checks
+        w = eigh_accurate(X)[0]                          # ascending
         ts.append(jnp.max(-w[..., 0], axis=-1))
     if not ts:
         return jnp.zeros(x.shape[:-1], dtype=x.dtype)
@@ -498,7 +503,7 @@ def max_step_eig(x: Array, dims: ConeDims):
     for run in dims.s_runs:
         off, _, cnt, m = run
         X = sview(x, run)
-        w, V = jnp.linalg.eigh(X)
+        w, V = eigh_accurate(X)      # see max_step note
         ts.append(jnp.max(-w[..., 0], axis=-1))
         sig_parts.append(w.reshape(w.shape[:-2] + (-1,)))
         out = _set(out, slice(off, off + cnt * m * m), V)

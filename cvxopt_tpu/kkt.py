@@ -491,7 +491,8 @@ class PFactor:
 def psqrt_factor(P) -> "PFactor":
     """PSD square-root factor Rt with Rt'Rt = P, via eigh (PSD-safe:
     negative eigenvalues from roundoff are clamped to zero)."""
-    w, U = jnp.linalg.eigh(P)
+    from cvxopt_tpu.ops.jacobi import eigh_accurate
+    w, U = eigh_accurate(P)
     Rt = jnp.sqrt(jnp.maximum(w, 0.0))[..., :, None] \
         * jnp.swapaxes(U, -1, -2)
     return PFactor(Rt)

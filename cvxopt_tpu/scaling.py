@@ -31,6 +31,7 @@ from typing import Dict, List
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from cvxopt_tpu.ops.jacobi import gram_eigh_accurate
 from cvxopt_tpu.cones import (
     Array, ConeDims, jdot, jnrm2, qview, sview, sdiagview, _set,
 )
@@ -279,7 +280,11 @@ def compute_scaling(s: Array, z: Array, dims: ConeDims):
         # satisfy the defining NT relations r' z r = diag(lam),
         # r' s^{-1} r = diag(lam)^{-1}, rti = r^{-T}.
         M = jnp.swapaxes(Lz, -1, -2) @ Ls
-        w, V = jnp.linalg.eigh(jnp.swapaxes(M, -1, -2) @ M)
+        # gram_eigh_accurate == eigh(M'M) on CPU; on the TPU backend it
+        # adds the one-sided-Jacobi polish that restores the RELATIVE
+        # small-eigenvalue accuracy the emulated-f64 eigh loses — the
+        # property the reference gets from gesvd (misc.py:393-414)
+        w, V = gram_eigh_accurate(M)
         # eigh is ascending; NT lambda order is a free choice — flip to
         # descending to match the reference's SVD ordering.
         lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
@@ -368,7 +373,7 @@ def update_scaling(W: Dict, lmbda: Array, s: Array, z: Array,
         #   r   := r Ls V diag(lam)^{-1/2}
         #   rti := rti Lz U diag(lam)^{-1/2}
         M = jnp.swapaxes(Lz, -1, -2) @ Ls
-        w, V = jnp.linalg.eigh(jnp.swapaxes(M, -1, -2) @ M)
+        w, V = gram_eigh_accurate(M)      # see compute_scaling note
         lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
         V = V[..., ::-1]
         U = (M @ V) / lam[..., None, :]
