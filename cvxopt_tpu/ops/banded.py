@@ -236,7 +236,9 @@ def pbtrs(LB, B):
         lrow, b = x                        # (kd+1,), (nrhs,)
         yprev = carry                      # (kd, nrhs) — y_{i-kd..i-1}
         yi = (b - lrow[:kd] @ yprev) / lrow[kd]
-        carry = jnp.concatenate([yprev[1:], yi[None]], axis=0)
+        # [..][1:] (not yprev[1:] first) so the carry keeps kd rows
+        # even when kd == 0 (diagonal-only band)
+        carry = jnp.concatenate([yprev, yi[None]], axis=0)[1:]
         return carry, yi
 
     c0 = jnp.zeros((kd, nrhs), Bm.dtype)
@@ -249,7 +251,7 @@ def pbtrs(LB, B):
         lcol, yi = x                       # (kd+1,), (nrhs,)
         xnext = carry                      # (kd, nrhs) — x_{i+1..i+kd}
         xi = (yi - lcol[1:] @ xnext) / lcol[0]
-        carry = jnp.concatenate([xi[None], xnext[:-1]], axis=0)
+        carry = jnp.concatenate([xi[None], xnext], axis=0)[:kd]
         return carry, xi
 
     _, xr = lax.scan(bwd, c0, (LBc[::-1], y[::-1]))
