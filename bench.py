@@ -723,6 +723,62 @@ def bench_sparse(n=100_000):
     return res
 
 
+def bench_batched_lp(nb=256, n=16, mextra=8, maxiters=400):
+    """Batched exact-vertex LPs through the vmapped native simplex
+    (simplex.py:32-34's story): nb small LPs solved as ONE jitted
+    program, vs scipy.optimize.linprog (HiGHS dual simplex) solving
+    the same instances one at a time on the host — the per-instance
+    C-simplex pattern of the reference's glpk bridge."""
+    import jax
+    import jax.numpy as jnp
+    from cvxopt_tpu.simplex import make_simplex
+
+    m = 2 * n + mextra
+    rng = np.random.default_rng(5)
+    I = np.eye(n)
+    Gfix = np.vstack([I, -I])
+    Pn = rng.standard_normal((nb, mextra, n)) / np.sqrt(n)
+    G = np.broadcast_to(Gfix, (nb, 2 * n, n))
+    G = np.concatenate([G, Pn], axis=1)
+    h = np.concatenate(
+        [np.ones((nb, n)), np.zeros((nb, n)),
+         Pn @ np.full(n, 0.5) + rng.uniform(0.05, 0.5, (nb, mextra))],
+        axis=1)
+    cobj = rng.standard_normal((nb, n))
+    A = np.broadcast_to(np.ones((1, n)), (nb, 1, n))
+    b = np.full((nb, 1), n / 2.0)
+
+    run = make_simplex(n, m, 1, maxiters, batched=True)
+    args = tuple(jnp.asarray(v) for v in (cobj, G, h, A, b))
+    code, x, z, y = run(*args)
+    solved = int((np.asarray(code) == 0).sum())
+    t0 = time.time()
+    reps = 3
+    for r in range(reps):
+        code, x, z, y = run(args[0] + 1e-12 * (r + 1), *args[1:])
+        _ = int(np.asarray(code).sum())        # force a real sync
+    dt = (time.time() - t0) / reps
+    objs = np.einsum("bi,bi->b", np.asarray(x), cobj)
+
+    # scipy HiGHS baseline, one instance at a time
+    from scipy.optimize import linprog
+    t0 = time.time()
+    sobjs = []
+    for i in range(nb):
+        r = linprog(cobj[i], A_ub=Pn[i], b_ub=h[i, 2 * n:],
+                    A_eq=A[i], b_eq=b[i], bounds=(0.0, 1.0),
+                    method="highs")
+        sobjs.append(r.fun)
+    dt_scipy = time.time() - t0
+    gap = float(np.max(np.abs(objs - np.asarray(sobjs))))
+    return dict(lps_per_s=round(nb / dt, 1),
+                scipy_lps_per_s=round(nb / dt_scipy, 1),
+                vs_scipy=round(dt_scipy / dt, 2),
+                solved=f"{solved}/{nb}",
+                max_obj_diff_vs_scipy=gap,
+                config=f"{nb}x n={n} m={m} LPs, vmapped simplex")
+
+
 def bench_cpu_baseline(n, tol, k=3, maxiters=50, repeats=2):
     """Single-core reference iterations/s on identical instances.
 
@@ -871,6 +927,12 @@ def main():
     if on_tpu and os.environ.get("BENCH_MARKOWITZ", "1") != "0":
         RESULT["markowitz"] = run_stage("markowitz", bench_markowitz,
                                         400)
+        emit()
+
+    # ---- batched vmapped simplex (exact-vertex LPs) ----------------
+    if os.environ.get("BENCH_LP", "1") != "0":
+        RESULT["batched_lp"] = run_stage("batched_lp", bench_batched_lp,
+                                         300)
         emit()
 
     # ---- f32 diagnostic mode ---------------------------------------

@@ -41,8 +41,18 @@ def _lp_glpk(c, G, h, A, b, options):
     vertex solution exactly as the reference does."""
     from cvxopt_tpu import glpk as glpk_mod
 
-    opts = dict(glpk_mod.options)
-    opts.update((options or {}).get("glpk", {}))
+    # reference semantics (coneprog.py:2807): the options['glpk'] dict
+    # (per-call kwarg, else the shared solvers.options) applies
+    # INSTEAD of the module options; module glpk.options is only the
+    # final fallback
+    from cvxopt_tpu import solvers as _solvers
+
+    if options is not None and "glpk" in options:
+        opts = dict(options["glpk"])
+    elif "glpk" in _solvers.options:
+        opts = dict(_solvers.options["glpk"])
+    else:
+        opts = dict(glpk_mod.options)
     c = np.asarray(c, dtype=float).reshape(-1)
     n = c.shape[0]
     G = np.asarray(G, dtype=float).reshape(-1, n)

@@ -144,6 +144,11 @@ def ilp(c, G, h, A=None, b=None, I: Optional[Sequence[int]] = None,
     I = sorted(set(int(i) for i in (I or [])) |
                set(int(i) for i in (B or [])))
     B = sorted(set(int(i) for i in (B or [])))
+    if options is None:
+        # reference fallback: module glpk.options applies when no
+        # options kwarg is passed (glpk.c:573)
+        from cvxopt_tpu import glpk as _glpk
+        options = _glpk.options
     opts = dict(options or {})
     opts.setdefault("show_progress", False)
     g_nodes, tm_lim, verbose = _parse_glpk_options(opts)

@@ -78,10 +78,13 @@ def _binv_xb(W, basis, r):
     return Binv, mv(Binv, r)
 
 
-def _phase(W, r, cost, enter_ok, basis, maxiters, cap_art=None):
-    """One simplex phase: minimize cost'x over {W x = r, x >= 0}
-    from the given basis.  ``cap_art`` marks zero-capped columns
-    (phase-2 artificials).  Returns (basis, code)."""
+def _phase(W, r, cost, enter_ok, basis, cap, cap_art=None, degen0=0):
+    """One (resumable) simplex phase: minimize cost'x over
+    {W x = r, x >= 0} from the given basis, for at most ``cap``
+    pivots (``cap`` may be a traced scalar — the tm_lim host loop
+    re-enters with the carried state).  ``cap_art`` marks zero-capped
+    columns (phase-2 artificials).  Returns (basis, code, it, degen)
+    with code == -1 when the pivot cap was hit mid-phase."""
     m, ncols = W.shape
     idx = jnp.arange(ncols)
     dtol = 1e-9 * (1.0 + jnp.max(jnp.abs(cost)))
@@ -89,7 +92,7 @@ def _phase(W, r, cost, enter_ok, basis, maxiters, cap_art=None):
 
     def cond(st):
         basis, it, degen, code = st
-        return (code < 0) & (it < maxiters)
+        return (code < 0) & (it < cap)
 
     def body(st):
         basis, it, degen, code = st
@@ -129,7 +132,11 @@ def _phase(W, r, cost, enter_ok, basis, maxiters, cap_art=None):
         rat = jnp.where(bd, jnp.maximum(xp / wsafe_d, 0.0), rat)
         cand = blocked & (rat <= tb)
         i_harris = jnp.argmax(jnp.where(cand, jnp.abs(w), -jnp.inf))
-        i_bland = jnp.argmin(jnp.where(cand, basis, ncols))
+        # Bland's rule must tie-break on the EXACT minimum-ratio set
+        # (not the Harris-relaxed one) for its termination guarantee
+        tmin = jnp.min(jnp.where(blocked, rat, jnp.inf))
+        cand_exact = blocked & (rat <= tmin)
+        i_bland = jnp.argmin(jnp.where(cand_exact, basis, ncols))
         i = jnp.where(use_bland, i_bland, i_harris)
         t = jnp.maximum(rat[i], 0.0)
 
@@ -143,16 +150,16 @@ def _phase(W, r, cost, enter_ok, basis, maxiters, cap_art=None):
         return (jnp.where(take, basis2, basis), it + 1,
                 jnp.where(take, degen2, degen), code2)
 
-    st = (basis, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-          jnp.asarray(-1, jnp.int32))
-    basis, it, _, code = lax.while_loop(cond, body, st)
-    code = jnp.where(code < 0, UNKNOWN, code)
-    return basis, code
+    st = (basis, jnp.asarray(0, jnp.int32),
+          jnp.asarray(degen0, jnp.int32), jnp.asarray(-1, jnp.int32))
+    basis, it, degen, code = lax.while_loop(cond, body, st)
+    return basis, code, it, degen
 
 
-def simplex_core(c, G, h, A, b, maxiters):
-    """Jittable core: returns (code, x, z, y) as arrays.  Shapes are
-    static; vmap over a leading batch axis for batched vertex solves."""
+def _setup(c, G, h, A, b):
+    """Standard-form setup (jittable): equilibrate, sign-scale, build
+    the working tableau columns and the crash basis.  Returns a dict
+    of arrays consumed by `_phase`/`_extract`."""
     n = c.shape[0]
     mG = G.shape[0]
     p = A.shape[0]
@@ -199,29 +206,60 @@ def simplex_core(c, G, h, A, b, maxiters):
     col_idx = jnp.arange(ncols)
     is_art = col_idx >= nreal
 
-    # ---- phase 1: minimize sum of artificials ------------------------
     c1 = jnp.where(is_art, 1.0, 0.0).astype(dt)
-    basis, code1 = _phase(W, r, c1, ~is_art, basis0, maxiters)
-    _, xB1 = _binv_xb(W, basis, r)
-    infeas = jnp.sum(jnp.where(is_art[basis], jnp.maximum(xB1, 0.0),
-                               0.0))
-    feas_ok = infeas <= 1e-7 * (1.0 + jnp.linalg.norm(r))
-
-    # ---- phase 2: real costs; basic artificials zero-capped ----------
     c2 = jnp.concatenate([cobj, -cobj, jnp.zeros((mG + m,), dt)])
     c2 = jnp.where(is_art, 0.0, c2)
-    basis, code2 = _phase(W, r, c2, ~is_art, basis, maxiters,
-                          cap_art=is_art)
+    # only arrays in S: it crosses jit boundaries as a pytree, and
+    # plain ints would come back as traced scalars
+    return dict(W=W, r=r, c1=c1, c2=c2, is_art=is_art, basis0=basis0,
+                cs=cs, rs=rs, sgn=sgn)
 
-    # ---- extraction (undo sign + equilibration scalings) -------------
-    Binv, xB = _binv_xb(W, basis, r)
-    xfull = jnp.zeros((ncols,), dt).at[basis].set(xB)
+
+def _feas_ok(S, basis):
+    """Phase-1 exit check: artificial infeasibility below tolerance."""
+    _, xB1 = _binv_xb(S["W"], basis, S["r"])
+    infeas = jnp.sum(jnp.where(S["is_art"][basis],
+                               jnp.maximum(xB1, 0.0), 0.0))
+    return infeas <= 1e-7 * (1.0 + jnp.linalg.norm(S["r"]))
+
+
+def _extract(S, basis):
+    """Vertex + duals from the final basis (undo sign/equilibration)."""
+    cs, rs, sgn = S["cs"], S["rs"], S["sgn"]
+    m, ncols = S["W"].shape
+    n = cs.shape[0]
+    mG = ncols - 2 * n - m              # columns: x+ | x- | slack | art
+    Binv, xB = _binv_xb(S["W"], basis, S["r"])
+    xfull = jnp.zeros((ncols,), xB.dtype).at[basis].set(xB)
     x = (xfull[:n] - xfull[n:2 * n]) * cs
-    y_s = mvt(Binv, c2[basis])           # duals in sign-scaled space
+    y_s = mvt(Binv, S["c2"][basis])      # duals in sign-scaled space
     z = -sgn[:mG] * y_s[:mG] * rs[:mG]
     y = -sgn[mG:] * y_s[mG:] * rs[mG:]
     z = jnp.maximum(z, 0.0)              # clip pivot-tolerance dust
+    return x, z, y
 
+
+def simplex_core(c, G, h, A, b, maxiters):
+    """Jittable core: returns (code, x, z, y) as arrays.  Shapes are
+    static; vmap over a leading batch axis for batched vertex solves.
+    ``maxiters`` caps the TOTAL pivot count across both phases (GLPK's
+    it_lim semantics: one simplex-iteration budget for the solve)."""
+    S = _setup(c, G, h, A, b)
+    W, r, is_art = S["W"], S["r"], S["is_art"]
+
+    # ---- phase 1: minimize sum of artificials ------------------------
+    basis, code1, it1, _ = _phase(W, r, S["c1"], ~is_art, S["basis0"],
+                                  maxiters)
+    feas_ok = _feas_ok(S, basis)
+
+    # ---- phase 2: real costs; basic artificials zero-capped ----------
+    basis, code2, _, _ = _phase(W, r, S["c2"], ~is_art, basis,
+                                jnp.maximum(maxiters - it1, 0),
+                                cap_art=is_art)
+    code1 = jnp.where(code1 < 0, UNKNOWN, code1)
+    code2 = jnp.where(code2 < 0, UNKNOWN, code2)
+
+    x, z, y = _extract(S, basis)
     code = jnp.where(
         ~feas_ok & (code1 == OPTIMAL), PRIMAL_INFEASIBLE,
         jnp.where(code1 != OPTIMAL, UNKNOWN, code2))
@@ -241,12 +279,75 @@ def make_simplex(n, mG, p, maxiters, batched=False):
     return jax.jit(run)
 
 
+# jitted pieces for the tm_lim (time-limited) host-chunked driver;
+# jit retraces per problem shape automatically
+_setup_j = jax.jit(_setup)
+_feas_j = jax.jit(_feas_ok)
+_extract_j = jax.jit(_extract)
+_phase1_j = jax.jit(lambda S, basis, degen, cap: _phase(
+    S["W"], S["r"], S["c1"], ~S["is_art"], basis, cap, degen0=degen))
+_phase2_j = jax.jit(lambda S, basis, degen, cap: _phase(
+    S["W"], S["r"], S["c2"], ~S["is_art"], basis, cap,
+    cap_art=S["is_art"], degen0=degen))
+
+_TIME_LIMIT = -2                        # host-loop marker, maps UNKNOWN
+
+
+def _simplex_timed(c, G, h, A, b, maxiters, tm_lim_ms, verbose):
+    """tm_lim driver (GLPK smcp.tm_lim semantics, glpk.c:323-327):
+    the phases run as host-driven chunks of pivots, checking the
+    wall-clock deadline between chunks; exceeding it returns
+    'unknown' (the reference maps GLP_ETMLIM the same way)."""
+    import time as _time
+    deadline = _time.time() + tm_lim_ms / 1000.0
+    S = _setup_j(c, G, h, A, b)
+    chunk = 64
+
+    def run(phase_fn, basis, budget, label):
+        done, degen, code = 0, 0, -1
+        while code < 0 and done < budget:
+            if _time.time() >= deadline:
+                return basis, _TIME_LIMIT, done
+            cap = min(chunk, budget - done)
+            basis, code, itc, degen = phase_fn(
+                S, basis, jnp.asarray(degen, jnp.int32),
+                jnp.asarray(cap, jnp.int32))
+            code, done, degen = int(code), done + int(itc), int(degen)
+            if verbose:
+                print(f"glpk.lp native simplex: {label} pivot {done}")
+        return basis, code, done
+
+    basis, code1, it1 = run(_phase1_j, S["basis0"], maxiters, "phase 1")
+    if code1 == _TIME_LIMIT or code1 == -1:
+        return UNKNOWN, None, None, None
+    if code1 == OPTIMAL and not bool(_feas_j(S, basis)):
+        return PRIMAL_INFEASIBLE, None, None, None
+    if code1 != OPTIMAL:
+        return UNKNOWN, None, None, None
+    basis, code2, _ = run(_phase2_j, basis, maxiters - it1, "phase 2")
+    if code2 == _TIME_LIMIT or code2 == -1:
+        return UNKNOWN, None, None, None
+    x, z, y = _extract_j(S, basis)
+    return int(code2), x, z, y
+
+
+_MSG_LEVELS = ("GLP_MSG_OFF", "GLP_MSG_ERR", "GLP_MSG_ON",
+               "GLP_MSG_ALL")
+
+
 def lp(c, G, h, A=None, b=None, options=None):
     """glpk.lp-compatible entry: (status, x, z, y) — or (status, x, z)
-    when A is omitted — via the native simplex.  Recognized options
-    (GLPK parameter names, as in the reference's options plumbing):
-    'it_lim' (pivot limit), 'msg_lev' (ignored), 'tm_lim' (ignored —
-    the jitted solve is not interruptible)."""
+    when A is omitted — via the native simplex.  Options use GLPK
+    parameter names with the reference's plumbing (glpk.c:214-330):
+    when ``options`` is None the module-level `cvxopt_tpu.glpk.options`
+    dict applies; recognized keys are 'it_lim' (total simplex pivot
+    limit), 'tm_lim' (wall-clock limit in ms — enforced by a
+    host-chunked drive of the jitted phases), and 'msg_lev'
+    (GLP_MSG_OFF/ERR/ON/ALL; ON prints a solve summary, ALL per-chunk
+    progress).  Unrecognized values warn and fall back to defaults,
+    matching the reference's PyErr_WarnEx behavior."""
+    import warnings
+
     c = np.asarray(c, dtype=np.float64).reshape(-1)
     n = c.shape[0]
     G = np.asarray(G, dtype=np.float64).reshape(-1, n)
@@ -258,15 +359,47 @@ def lp(c, G, h, A=None, b=None, options=None):
     else:
         A = np.zeros((0, n))
         b = np.zeros((0,))
+    if options is None:
+        # reference fallback (glpk.c:214): module options dict applies
+        # when no options kwarg is passed
+        from cvxopt_tpu import glpk as _glpk
+        options = _glpk.options
     opts = dict(options or {})
-    maxiters = int(opts.get("it_lim", 0) or
-                   50 * (G.shape[0] + A.shape[0] + n) + 1000)
 
-    run = make_simplex(n, G.shape[0], A.shape[0], maxiters)
-    code, x, z, y = run(jnp.asarray(c), jnp.asarray(G), jnp.asarray(h),
-                        jnp.asarray(A), jnp.asarray(b))
-    code = int(code)
+    msg_lev = opts.get("msg_lev", "GLP_MSG_OFF")
+    if msg_lev not in _MSG_LEVELS:
+        warnings.warn("replacing glpk.options['msg_lev'] with default "
+                      "value")
+        msg_lev = "GLP_MSG_OFF"
+    it_lim = opts.get("it_lim")
+    if it_lim is not None and not isinstance(it_lim, int):
+        warnings.warn("replacing glpk.options['it_lim'] with default "
+                      "value")
+        it_lim = None
+    tm_lim = opts.get("tm_lim")
+    if tm_lim is not None and not isinstance(tm_lim, int):
+        warnings.warn("replacing glpk.options['tm_lim'] with default "
+                      "value")
+        tm_lim = None
+    maxiters = int(it_lim or 50 * (G.shape[0] + A.shape[0] + n) + 1000)
+
+    t0 = __import__("time").time()
+    if tm_lim and tm_lim > 0:
+        code, x, z, y = _simplex_timed(
+            jnp.asarray(c), jnp.asarray(G), jnp.asarray(h),
+            jnp.asarray(A), jnp.asarray(b), maxiters, tm_lim,
+            verbose=(msg_lev == "GLP_MSG_ALL"))
+    else:
+        run = make_simplex(n, G.shape[0], A.shape[0], maxiters)
+        code, x, z, y = run(jnp.asarray(c), jnp.asarray(G),
+                            jnp.asarray(h), jnp.asarray(A),
+                            jnp.asarray(b))
+        code = int(code)
     status = _STATUS[code]
+    if msg_lev in ("GLP_MSG_ON", "GLP_MSG_ALL"):
+        print(f"glpk.lp native simplex: n={n} m={G.shape[0]} "
+              f"p={A.shape[0]} status={status} "
+              f"({__import__('time').time() - t0:.3f}s)")
     if status != "optimal":
         out = (status, None, None)
         return out + (None,) if has_A else out

@@ -166,3 +166,102 @@ def test_boeing2_via_simplex():
     assert abs(sol["primal objective"] - (-315.0187280)) < 1e-3
     assert sol["primal infeasibility"] < 1e-7
     assert sol["dual infeasibility"] < 1e-7
+
+
+def test_options_plumbing_reference_semantics():
+    """Mirror of the reference options test (test_glpk.py:50-77):
+    module glpk.options fallback, per-call override, msg_lev levels,
+    solvers.options['glpk'] and options={'glpk': ...} dispatch."""
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    A = np.array([[1.0, 1.0]])
+    b = np.array([1.0])
+
+    saved = glpk.options
+    try:
+        glpk.options = {"msg_lev": "GLP_MSG_OFF"}
+        assert glpk.lp(c, G, h)[0] == "optimal"
+        assert glpk.lp(c, G, h, A, b)[0] == "optimal"
+        assert glpk.lp(c, G, h,
+                       options={"msg_lev": "GLP_MSG_ON"})[0] == "optimal"
+        assert glpk.lp(c, G, h, A, b,
+                       options={"msg_lev": "GLP_MSG_ERR"})[0] == "optimal"
+
+        sol5 = solvers.lp(c, G, h, solver="glpk",
+                          options={"glpk": {"msg_lev": "GLP_MSG_ON"}})
+        assert sol5["status"] == "optimal"
+
+        # module it_lim applies when no options kwarg is passed
+        glpk.options = {"it_lim": 1}
+        assert glpk.lp(c, G, h)[0] == "unknown"
+        glpk.options = {}
+
+        solvers.options["glpk"] = {"msg_lev": "GLP_MSG_ON"}
+        try:
+            sol6 = solvers.lp(c, G, h, solver="glpk")
+            assert sol6["status"] == "optimal"
+        finally:
+            solvers.options.pop("glpk", None)
+    finally:
+        glpk.options = saved
+
+
+def test_bad_option_values_warn_and_default():
+    """Unrecognized msg_lev / non-int it_lim warn and fall back,
+    matching the reference's PyErr_WarnEx path (glpk.c:238-328)."""
+    import warnings
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        status, *_ = glpk.lp(c, G, h, options={
+            "msg_lev": "BOGUS", "it_lim": "many", "tm_lim": 1.5})
+    assert status == "optimal"
+    msgs = " ".join(str(w.message) for w in rec)
+    assert "msg_lev" in msgs and "it_lim" in msgs and "tm_lim" in msgs
+
+
+def test_tm_lim_enforced(monkeypatch):
+    """tm_lim (wall-clock ms) terminates the solve with 'unknown'
+    when exceeded, and leaves ample-budget solves untouched (GLPK
+    smcp.tm_lim semantics, glpk.c:323-327)."""
+    c = np.array([-4., -5.])
+    G = np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]])
+    h = np.array([3., 3., 0., 0.])
+    # generous budget: solves fine through the chunked driver
+    status, x, z = glpk.lp(c, G, h, options={"tm_lim": 60_000})
+    assert status == "optimal"
+    np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-8)
+    # deterministic deadline breach: a fake clock advancing 10 ms per
+    # call makes the 5 ms budget expire at the first between-chunk
+    # check (GLPK likewise only checks between simplex iterations)
+    import time as _time
+    real = _time.time
+    t = {"v": real()}
+
+    def fake():
+        t["v"] += 0.010
+        return t["v"]
+
+    monkeypatch.setattr(_time, "time", fake)
+    status2, *_ = glpk.lp(c, G, h, options={"tm_lim": 5})
+    assert status2 == "unknown"
+
+
+def test_it_lim_total_across_phases():
+    """it_lim caps TOTAL pivots (GLPK semantics), not per-phase: a
+    budget that phase 1 consumes leaves nothing for phase 2."""
+    rng = np.random.default_rng(3)
+    n = 20
+    Gm = np.vstack([np.eye(n), -np.eye(n)])
+    h = np.concatenate([np.ones(n), np.zeros(n)])
+    A = np.ones((1, n))
+    b = np.array([n / 2.0])
+    c = rng.standard_normal(n)
+    st_full, *_ = glpk.lp(c, Gm, h, A, b)
+    assert st_full == "optimal"
+    # a 2-pivot budget cannot complete both phases on this problem
+    st_tiny, *_ = glpk.lp(c, Gm, h, A, b, options={"it_lim": 2})
+    assert st_tiny == "unknown"
