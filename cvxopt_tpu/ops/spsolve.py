@@ -178,45 +178,75 @@ def numeric(A, symb: CholSymbolic, uplo="L") -> CholFactor:
     return CholFactor(L=jnp.linalg.cholesky(A), perm=symb.perm)
 
 
-def solve(F: CholFactor, B, sys: int = 0):
-    """Solve using the factor (cholmod.solve, cholmod.c:479).
+def _apply_perm(B, idx):
+    """X[i] = B[idx[i]] along the leading axis."""
+    return B[..., idx, :] if B.ndim > 1 else B[..., idx]
 
-    sys: 0 -> A x = b; 4 -> L x = b; 5 -> L' x = b (the systems the
-    reference's kkt_chol2 uses; other sys codes of CHOLMOD's LDL
-    interface are not applicable to an LL' factorization)."""
+
+def solve(F: CholFactor, B, sys: int = 0):
+    """Solve using the factor (cholmod.solve, cholmod.c:460-479).
+
+    Full CHOLMOD sys table, for the factorization P A P' = L L'
+    (the factor here is always LL', so D = I — exactly the reference
+    docstring's "If A was factored as P*A*P' = L*L', then D = I"):
+
+        0  A X = B          5  L' X = B
+        1  L D L' X = B     6  D X = B      (identity for LL')
+        2  L D X = B        7  P' X = B  ->  X = P B
+        3  D L' X = B       8  P X = B   ->  X = P' B
+        4  L X = B
+
+    sys 1-3/6 act in the PERMUTED coordinates (no P application),
+    matching CHOLMOD; only sys 0 round-trips through P."""
     B = _dense(B)
+    if not 0 <= sys <= 8:
+        raise ValueError(f"sys must be in 0..8, got {sys}")
+    perm = F.perm if F.perm is not None else (
+        F.bsp.perm if F.bsp is not None else None)
+    if sys in (7, 8):
+        if perm is None:
+            return B
+        idx = np.asarray(perm) if sys == 7 else np.argsort(perm)
+        return _apply_perm(B, idx)
+    if sys == 6:                 # D = I for an LL' factor
+        return B
     if F.bsp is not None:
         from cvxopt_tpu.ops import blocksparse as bsp
-        if sys != 0:
-            raise ValueError("blocksparse factor supports sys=0 "
-                             "(A x = b) only")
-        return bsp.solve(F.bsp, F.L, B)
+        if sys == 0:
+            return bsp.solve(F.bsp, F.L, B)
+        if sys == 1:
+            # A = P' L L' P, so (LL')^{-1} B = P A^{-1} P' B
+            p = np.asarray(F.bsp.perm)
+            X = bsp.solve(F.bsp, F.L, _apply_perm(B, np.argsort(p)))
+            return _apply_perm(X, p)
+        raise ValueError("blocksparse factor supports sys in "
+                         "{0,1,6,7,8} only")
     if F.banded:
         from cvxopt_tpu.ops import banded as bnd
-        perm, inv = F.perm, np.argsort(F.perm)
         if sys == 0:
-            Bp = B[..., perm, :] if B.ndim > 1 else B[perm]
+            perm_, inv = F.perm, np.argsort(F.perm)
+            Bp = _apply_perm(B, perm_)
             X = bnd.pbtrs(F.L, Bp)
-            return X[inv, :] if X.ndim > 1 else X[inv]
-        if sys == 4:
+            return _apply_perm(X, inv)
+        if sys == 1:
+            return bnd.pbtrs(F.L, B)
+        if sys in (2, 4):        # L D X = B -> L X = B (D = I)
             return bnd.tbtrs(F.L, B)
-        if sys == 5:
+        if sys in (3, 5):        # D L' X = B -> L' X = B
             return bnd.tbtrs(F.L, B, trans="T")
-        raise ValueError(f"unsupported sys code {sys}")
     if F.perm is not None and sys == 0:
-        B = B[..., F.perm, :] if B.ndim > 1 else B[..., F.perm]
-    if sys == 4:
+        B = _apply_perm(B, F.perm)
+    if sys in (2, 4):
         X = jsl.solve_triangular(F.L, B, lower=True)
-    elif sys == 5:
+    elif sys in (3, 5):
         X = jsl.solve_triangular(jnp.swapaxes(F.L, -1, -2), B,
                                  lower=False)
-    else:
+    else:                        # 0 or 1: full L L' solve
         X = jsl.solve_triangular(F.L, B, lower=True)
         X = jsl.solve_triangular(jnp.swapaxes(F.L, -1, -2), X,
                                  lower=False)
     if F.perm is not None and sys == 0:
-        inv = np.argsort(F.perm)
-        X = X[..., inv, :] if X.ndim > 1 else X[..., inv]
+        X = _apply_perm(X, np.argsort(F.perm))
     return X
 
 
