@@ -502,3 +502,227 @@ def kkt_chol2_blocksparse(G_sp, dims, A=None, P_sp=None, t: int = 32,
 
     kktsolver.plan = plan
     return kktsolver
+
+
+# ---------------------------------------------------------------------
+# Unsymmetric block LU (tile-map LDU) — general-sparsity umfpack path
+# ---------------------------------------------------------------------
+#
+# The reference's UMFPACK handles any sparsity via multifrontal LU
+# with partial pivoting (/root/reference/src/C/umfpack.c:121-461).
+# The TPU-native analogue factors over the SYMMETRIZED pattern's block
+# fill (UMFPACK's own "symmetric strategy"): the block pattern and the
+# static task tables of the Cholesky analysis drive BOTH triangles,
+# because with U stored transposed (Ut[(i,k)] := U[k,i]') the two
+# left-looking updates are formally identical:
+#
+#     Lcol[(i,k)] -= L[(i,j)] @ U[j,k]      = L[(i,j)]  @ Ut[(k,j)]'
+#     Ut[(i,k)]   -= (L[(k,j)] @ U[j,i])'   = Ut[(i,j)] @ L[(k,j)]'
+#
+# Diagonal blocks factor by QR (Householder — unconditionally stable
+# for any nonsingular block, and TPU-lowerable where f64 LU is not);
+# cross-block pivoting is not performed (static pivoting over the
+# AMD-ordered pattern), the standard trade for structured systems —
+# `lu_solve`'s iterative-refinement step recovers residuals to f64
+# roundoff for the patterns this path accepts.
+#
+# Factor convention (block Doolittle): A = L' U' with L' unit-block-
+# lower, L'[i,j] = Ã[i,j] D_j^{-1} for i > j, U'[j,j] = D_j = Q_j R_j,
+# U'[j,i] = Ã[j,i].  Storage: Ltab's diagonal slot holds R_j, Utab's
+# diagonal slot holds Q_j, off-diagonal slots hold L'[i,j] and
+# U'[j,i]' respectively.
+
+
+def assemble_lu(symb: BlockSymbolic, S):
+    """Numeric assembly of an UNSYMMETRIC matrix into the two slot
+    tables (Alow, Aupt) over the symmetrized-pattern analysis `symb`:
+    block-lower entries (and FULL diagonal blocks) go to Alow;
+    strictly-block-upper entries go to Aupt transposed, at the mirror
+    (lower) slot."""
+    coo = sp.coo_matrix(sp.csr_matrix(S))
+    t, nnzb = symb.t, symb.nnzb
+    pos = np.argsort(symb.perm)
+    lk = _slot_lookup(symb)
+    pr, pc = pos[coo.row], pos[coo.col]
+    bi, bj = pr // t, pc // t
+    low = bi >= bj                 # incl. diagonal blocks (full)
+    sl = np.full(coo.nnz, nnzb, np.int64)
+    loc_r = np.where(low, pr % t, pc % t)
+    loc_c = np.where(low, pc % t, pr % t)
+    for idx in range(coo.nnz):
+        key = (int(bi[idx]), int(bj[idx])) if low[idx] \
+            else (int(bj[idx]), int(bi[idx]))
+        s = lk.get(key)
+        if s is None:
+            raise ValueError("entry outside the analyzed pattern")
+        sl[idx] = s
+    flat = sl * t * t + loc_r * t + loc_c
+    vals = jnp.asarray(coo.data)
+    size = (nnzb + 1) * t * t
+    Alow = jnp.zeros((size,), vals.dtype).at[
+        jnp.asarray(np.where(low, flat, size))].add(
+        jnp.where(jnp.asarray(low), vals, 0.0), mode="drop")
+    Aupt = jnp.zeros((size,), vals.dtype).at[
+        jnp.asarray(np.where(~low, flat, size))].add(
+        jnp.where(jnp.asarray(~low), vals, 0.0), mode="drop")
+    Alow = Alow.reshape(nnzb + 1, t, t)
+    Aupt = Aupt.reshape(nnzb + 1, t, t)
+    npad = symb.nt * t - symb.n
+    if npad:
+        k_last = symb.nt - 1
+        dslot = int(symb.col_slots[k_last, 0])
+        di = np.arange(symb.n - k_last * t, t)
+        Alow = Alow.at[dslot, di, di].set(1.0)
+    return Alow, Aupt
+
+
+def factor_lu(symb: BlockSymbolic, Alow: jnp.ndarray,
+              Aupt: jnp.ndarray):
+    """Numeric block LU over the symmetrized block pattern: one
+    `lax.scan` over block columns updating BOTH triangles with the
+    same static task tables.  Returns (Ltab, Utab); NaN blocks signal
+    a singular diagonal pivot (QR of a rank-deficient block)."""
+    t, nnzb, rmax = symb.t, symb.nnzb, symb.col_slots.shape[1]
+
+    xs = (jnp.asarray(symb.col_slots), jnp.asarray(symb.upd_dst),
+          jnp.asarray(symb.upd_src1), jnp.asarray(symb.upd_src2))
+
+    def step(carry, x):
+        Ltab, Utab = carry
+        cslots, dst, s1, s2 = x
+        Lcol = Ltab[cslots]                     # (rmax, t, t)
+        Ucol = Utab[cslots]
+        pad = jnp.zeros((1, t, t), Lcol.dtype)
+        Lcol = jnp.concatenate([Lcol, pad], axis=0)
+        Ucol = jnp.concatenate([Ucol, pad], axis=0)
+        Ls1, Us1 = Ltab[s1], Utab[s1]
+        Ls2, Us2 = Ltab[s2], Utab[s2]
+        Lcol = Lcol.at[dst].add(
+            -jnp.einsum("uij,ukj->uik", Ls1, Us2))
+        Ucol = Ucol.at[dst].add(
+            -jnp.einsum("uij,ukj->uik", Us1, Ls2))
+        Lcol, Ucol = Lcol[:rmax], Ucol[:rmax]
+
+        D = Lcol[0]                             # full diagonal block
+        Q, R = jnp.linalg.qr(D)
+        # L[i,k] = Lcol[i] D^{-1} = (Q @ (R^{-T} Lcol[i]^T))^T
+        Rb = jnp.broadcast_to(R, (rmax - 1, t, t))
+        tmp = jsl.solve_triangular(
+            jnp.swapaxes(Rb, -1, -2), jnp.swapaxes(Lcol[1:], -1, -2),
+            lower=True)
+        Lrest = jnp.swapaxes(jnp.einsum("ij,ujk->uik", Q, tmp), -1, -2)
+        newL = jnp.concatenate([R[None], Lrest], axis=0)
+        newU = jnp.concatenate([Q[None], Ucol[1:]], axis=0)
+        Ltab = Ltab.at[cslots].set(newL).at[nnzb].set(0.0)
+        Utab = Utab.at[cslots].set(newU).at[nnzb].set(0.0)
+        return (Ltab, Utab), 0
+
+    (Ltab, Utab), _ = lax.scan(step, (Alow, Aupt), xs)
+    return Ltab, Utab
+
+
+def solve_lu(symb: BlockSymbolic, Ltab: jnp.ndarray,
+             Utab: jnp.ndarray, B, trans: str = "N"):
+    """Solve A x = b (trans='N') or A' x = b (trans='T') from the
+    block-LU tables, in the ORIGINAL (unpermuted) indexing.  The
+    symmetric-pattern analysis makes the transpose solve free: the
+    same tables serve both directions."""
+    t, nt, nnzb = symb.t, symb.nt, symb.nnzb
+    vec = B.ndim == 1
+    Bm = B[:, None] if vec else B
+    n, nrhs = Bm.shape
+    perm = symb.perm
+    inv = np.argsort(perm)
+    Bp = Bm[perm] if n == symb.n else Bm
+    npad = nt * t - symb.n
+    Bp = jnp.pad(Bp, ((0, npad), (0, 0))).reshape(nt, t, nrhs)
+
+    diag_slots = jnp.asarray(symb.col_slots[:, 0])
+    rs = jnp.asarray(symb.row_slots)
+    rj = jnp.asarray(symb.row_js)
+    cs = jnp.asarray(symb.col_slots)
+    cr = jnp.asarray(symb.col_rows)
+
+    def gather(tab, slots):
+        return tab[slots]
+
+    if trans == "N":
+        # forward, unit-lower L': y_k = b_k - sum_{j<k} L[k,j] y_j
+        def fwd(y, x):
+            k, slots, js = x
+            yj = jnp.concatenate(
+                [y, jnp.zeros((1, t, nrhs), y.dtype)], axis=0)[js]
+            acc = Bp[k] - jnp.einsum("wij,wjr->ir", Ltab[slots], yj)
+            return y.at[k].set(acc), 0
+
+        y0 = jnp.zeros((nt, t, nrhs), Bm.dtype)
+        y, _ = lax.scan(fwd, y0, (jnp.arange(nt), rs, rj))
+
+        # backward, U': x_k = D_k^{-1}(y_k - sum_{i>k} U[k,i] x_i)
+        #   U[k,i] = Utab[(i,k)]';  D_k^{-1} = R^{-1} Q'
+        def bwd(xc, xk):
+            k, slots, rows = xk
+            xi = jnp.concatenate(
+                [xc, jnp.zeros((1, t, nrhs), xc.dtype)],
+                axis=0)[rows]
+            acc = y[k] - jnp.einsum("wji,wjr->ir",
+                                    Utab[slots][1:], xi[1:])
+            Qk = Utab[diag_slots[k]]
+            Rk = Ltab[diag_slots[k]]
+            xk_ = jsl.solve_triangular(Rk, Qk.T @ acc, lower=False)
+            return xc.at[k].set(xk_), 0
+
+        x0 = jnp.zeros((nt, t, nrhs), Bm.dtype)
+        x, _ = lax.scan(bwd, x0,
+                        (jnp.arange(nt)[::-1], cs[::-1], cr[::-1]))
+    else:
+        # A' = U'^T L'^T.
+        # forward, block-lower U'^T with diagonal D_k':
+        #   z_k = D_k'^{-1}(b_k - sum_{j<k} U'[j,k]' z_j)
+        #   U'[j,k]' = Utab[(k,j)];  D_k'^{-1} = Q R^{-T}
+        def fwdT(z, x):
+            k, slots, js = x
+            zj = jnp.concatenate(
+                [z, jnp.zeros((1, t, nrhs), z.dtype)], axis=0)[js]
+            acc = Bp[k] - jnp.einsum("wij,wjr->ir", Utab[slots], zj)
+            Qk = Utab[diag_slots[k]]
+            Rk = Ltab[diag_slots[k]]
+            zk = Qk @ jsl.solve_triangular(Rk.T, acc, lower=True)
+            return z.at[k].set(zk), 0
+
+        z0 = jnp.zeros((nt, t, nrhs), Bm.dtype)
+        z, _ = lax.scan(fwdT, z0, (jnp.arange(nt), rs, rj))
+
+        # backward, unit-upper L'^T: x_k = z_k - sum_{i>k} L[i,k]' x_i
+        def bwdT(xc, xk):
+            k, slots, rows = xk
+            xi = jnp.concatenate(
+                [xc, jnp.zeros((1, t, nrhs), xc.dtype)],
+                axis=0)[rows]
+            acc = z[k] - jnp.einsum("wji,wjr->ir",
+                                    Ltab[slots][1:], xi[1:])
+            return xc.at[k].set(acc), 0
+
+        x0 = jnp.zeros((nt, t, nrhs), Bm.dtype)
+        x, _ = lax.scan(bwdT, x0,
+                        (jnp.arange(nt)[::-1], cs[::-1], cr[::-1]))
+
+    X = x.reshape(nt * t, nrhs)[:symb.n][inv]
+    return X[:, 0] if vec else X
+
+
+def lu_linsolve_blocksparse(S, B, t: int = 32, perm=None,
+                            refine: int = 1):
+    """One-shot general-sparsity unsymmetric solve: analyze the
+    symmetrized pattern, block-LU factor, solve (+ `refine` rounds of
+    iterative refinement against the original matrix)."""
+    Ssp = sp.csr_matrix(S)
+    symb = analyze(((Ssp + Ssp.T) != 0), t=t, perm=perm)
+    Alow, Aupt = assemble_lu(symb, Ssp)
+    Ltab, Utab = factor_lu(symb, Alow, Aupt)
+    b = jnp.asarray(B)
+    x = solve_lu(symb, Ltab, Utab, b)
+    for _ in range(refine):
+        r = b - jnp.asarray(Ssp @ np.asarray(x))
+        x = x + solve_lu(symb, Ltab, Utab, r)
+    return x

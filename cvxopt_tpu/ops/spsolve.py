@@ -277,6 +277,7 @@ class LUSymbolic:
     kl: int = 0
     ku: int = 0
     banded: bool = False
+    bsp: Optional[object] = None    # BlockSymbolic (tile-map LU path)
 
 
 @dataclass
@@ -286,6 +287,7 @@ class LUFactor:
     symb: Optional[LUSymbolic] = None
     ABT: Optional[jnp.ndarray] = None   # banded: A' band for trans='T'
     facT: Optional[object] = None
+    Utab: Optional[jnp.ndarray] = None  # blocksparse: U slot table
 
 
 def _band_widths(S, perm):
@@ -315,10 +317,24 @@ def lu_symbolic(A) -> LUSymbolic:
         kl, ku = _band_widths(S != 0, perm)
         # the banded path wins when the band volume beats dense
         banded = (kl + ku + 2) * 4 < n
+        bsp_symb = None
+        if not banded:
+            # band-hostile pattern: try the tile-map block LU over the
+            # symmetrized pattern's block fill (blocksparse.factor_lu,
+            # UMFPACK's multifrontal role, umfpack.c:121-461) before
+            # densifying
+            from cvxopt_tpu.ops import blocksparse as bsp
+            t = 32 if n >= 64 else max(8, n // 4)
+            cand = bsp.analyze(((S + S.T) != 0), t=t)
+            if cand.nnzb * t * t < 0.35 * n * n:
+                bsp_symb = cand
         if options.get("print", 0):
+            path = ("banded" if banded else
+                    "blocksparse" if bsp_symb is not None else "dense")
             print(f"cvxopt_tpu.spsolve(lu): n={n} kl={kl} ku={ku} "
-                  f"banded={banded}")
-        return LUSymbolic(n=n, perm=perm, kl=kl, ku=ku, banded=banded)
+                  f"path={path}")
+        return LUSymbolic(n=n, perm=perm, kl=kl, ku=ku, banded=banded,
+                          bsp=bsp_symb)
     return LUSymbolic(n=_dense(A).shape[-1])
 
 
@@ -342,12 +358,22 @@ def lu_numeric(A, symb: LUSymbolic) -> LUFactor:
         ABT = _to_gb_storage(S.T, symb.perm, symb.ku, symb.kl)
         facT = bnd.gbtrf_scan(ABT, symb.ku, symb.kl)
         return LUFactor(lu=fac, piv=None, symb=symb, facT=facT)
+    if symb.bsp is not None:
+        from cvxopt_tpu.ops import blocksparse as bsp
+        S = _to_scipy(A)
+        Alow, Aupt = bsp.assemble_lu(symb.bsp, S)
+        Ltab, Utab = bsp.factor_lu(symb.bsp, Alow, Aupt)
+        return LUFactor(lu=Ltab, piv=None, symb=symb, Utab=Utab)
     lu, piv = jsl.lu_factor(_dense(A))
     return LUFactor(lu=lu, piv=piv)
 
 
 def lu_solve(F: LUFactor, B, trans="N"):
     """umfpack.solve (umfpack.c:461)."""
+    if F.symb is not None and F.symb.bsp is not None:
+        from cvxopt_tpu.ops import blocksparse as bsp
+        return bsp.solve_lu(F.symb.bsp, F.lu, F.Utab, _dense(B),
+                            trans="N" if trans == "N" else "T")
     if F.symb is not None and F.symb.banded:
         from cvxopt_tpu.ops import banded as bnd
         symb = F.symb

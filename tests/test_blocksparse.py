@@ -126,3 +126,67 @@ def test_blocksparse_kktsolver_end_to_end():
                          options={"maxiters": 30})
     np.testing.assert_allclose(np.asarray(sol["x"]),
                                np.asarray(ref["x"]), atol=1e-7)
+
+
+# ---- unsymmetric tile-map block LU (umfpack general-sparsity path) ----
+
+def _unsym_arrow(n, head=10, seed=0):
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    A = sp.lil_matrix((n, n))
+    A.setdiag(rng.uniform(5.0, 9.0, n))
+    A[:head, head:] = 0.4 * rng.standard_normal((head, n - head))
+    A[head:, :head] = 0.2 * rng.standard_normal((n - head, head))
+    for d in (1, 2):
+        A.setdiag(0.3 * rng.standard_normal(n - d), d)
+        A.setdiag(0.2 * rng.standard_normal(n - d), -d)
+    return sp.csr_matrix(A)
+
+
+def test_blocksparse_lu_small_vs_scipy():
+    import scipy.sparse.linalg as spl
+    from cvxopt_tpu.ops import blocksparse as bsp
+    A = _unsym_arrow(300, head=7)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(300)
+    x = np.asarray(bsp.lu_linsolve_blocksparse(A, b, t=16))
+    xref = spl.spsolve(A, b)
+    np.testing.assert_allclose(x, xref, atol=1e-12)
+
+
+def test_blocksparse_lu_transpose_and_multirhs():
+    from cvxopt_tpu.ops import blocksparse as bsp
+    A = _unsym_arrow(200, head=5, seed=3)
+    symb = bsp.analyze(((A + A.T) != 0), t=16)
+    Alow, Aupt = bsp.assemble_lu(symb, A)
+    Lt, Ut = bsp.factor_lu(symb, Alow, Aupt)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(200)
+    xt = np.asarray(bsp.solve_lu(symb, Lt, Ut, jnp.asarray(b),
+                                 trans="T"))
+    assert np.linalg.norm(A.T @ xt - b) < 1e-11 * np.linalg.norm(b)
+    Bm = rng.standard_normal((200, 4))
+    Xm = np.asarray(bsp.solve_lu(symb, Lt, Ut, jnp.asarray(Bm)))
+    assert np.linalg.norm(A @ Xm - Bm) < 1e-11 * np.linalg.norm(Bm)
+
+
+def test_umfpack_arrow_n3000_never_densifies():
+    """VERDICT r3 item 6 done-criterion: an arrow-pattern unsymmetric
+    n>=3000 system factors through the umfpack API without densifying,
+    with residual <= 1e-12."""
+    from cvxopt_tpu import umfpack
+    n = 3000
+    A = _unsym_arrow(n, head=12, seed=7)
+    symb = umfpack.symbolic(A)
+    assert not symb.banded and symb.bsp is not None, \
+        "arrow pattern must take the tile-map LU path"
+    # storage bound: block fill stays far under dense
+    t = symb.bsp.t
+    assert symb.bsp.nnzb * t * t < 0.35 * n * n
+    F = umfpack.numeric(A, symb)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(n)
+    x = np.asarray(umfpack.solve(F, b))
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-12
+    xt = np.asarray(umfpack.solve(F, b, trans="T"))
+    assert np.linalg.norm(A.T @ xt - b) / np.linalg.norm(b) <= 1e-12
