@@ -134,3 +134,54 @@ def test_min_concave_constraint():
     pr.solve()
     assert pr.status == "optimal"
     np.testing.assert_allclose(x.value, [1.0, 1.0], atol=1e-5)
+
+
+def test_case3_pwl_full_size():
+    """The reference's PWL stress case at FULL size (500x100 random,
+    /root/reference/tests/test_modeling.py:38-57): linf, l1, and the
+    two-segment penalty approximation, each solving to 'optimal' with
+    an objective consistent with its own solution."""
+    m, n = 500, 100
+    rng = np.random.default_rng(100)
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+
+    x1 = variable(n)
+    lp1 = op(max(abs(A @ x1 - b)))
+    lp1.solve()
+    assert lp1.status == "optimal"
+    r1 = np.abs(A @ x1.value - b).max()
+    assert abs(float(lp1.objective.value()[0]) - r1) < 1e-6
+
+    x2 = variable(n)
+    lp2 = op(sum(abs(A @ x2 - b)))
+    lp2.solve()
+    assert lp2.status == "optimal"
+    r2 = np.abs(A @ x2.value - b).sum()
+    assert abs(float(lp2.objective.value()[0]) - r2) < 1e-4
+
+    x3 = variable(n)
+    lp3 = op(sum(max(0, abs(A @ x3 - b) - 0.75,
+                     2 * abs(A @ x3 - b) - 2.25)))
+    lp3.solve()
+    assert lp3.status == "optimal"
+    u = np.abs(A @ x3.value - b)
+    r3 = np.maximum(0, np.maximum(u - 0.75, 2 * u - 2.25)).sum()
+    assert abs(float(lp3.objective.value()[0]) - r3) < 1e-4
+    assert r3 <= r2 + 1e-6
+
+
+def test_inplace_expression_arithmetic():
+    """Reference _function supports f += g / f -= g / f *= a; the
+    Python fallback through __add__ must keep these working."""
+    x = variable(2, "x")
+    f = 2 * x[0] + x[1]
+    f += x[0]
+    f -= 3 * x[1]
+    f *= 2.0
+    pr = op(f, [x >= 0, x <= 1, x[0] + x[1] >= 0.5])
+    pr.solve()
+    assert pr.status == "optimal"
+    # min 2*(3 x0 - 2 x1) over the box with sum >= 0.5 -> x=[0,1]
+    np.testing.assert_allclose(np.asarray(x.value), [0.0, 1.0],
+                               atol=1e-5)
