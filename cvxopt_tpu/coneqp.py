@@ -257,7 +257,9 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         # ---- residuals (coneprog.py:2169-2204) -----------------------
         Px = Pf(x)
         rx = Px + q + ATf(y) + GTf(z)
-        f0_ = 0.5 * (vdot(x, Px) + vdot(x, q))
+        # f0 = 1/2 x'Px + q'x  (reference: 0.5*(x'rx + x'q) with
+        # rx = Px + q, coneprog.py:2174)
+        f0_ = 0.5 * vdot(x, Px) + vdot(x, q)
         resx = jnp.linalg.norm(rx)
         ry = Af(x) - b
         resy = jnp.linalg.norm(ry)
