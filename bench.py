@@ -8,14 +8,22 @@ very end of main().  Now:
   * after each stage the full (partial) result line is re-printed and
     mirrored to BENCH_PARTIAL.json — a timeout preserves everything
     completed so far;
-  * every stage runs under its own signal.alarm timeout, so one hang
-    cannot eat the run;
+  * every stage runs in its OWN SUBPROCESS under a hard timeout.
+    signal.alarm is not enough: a remote-backend call that blocks
+    inside the C extension never returns to the interpreter, so the
+    alarm handler cannot fire (observed live — an SDP-stage remote
+    compile blocked 15+ min past its alarm).  A child process can
+    always be SIGKILLed; the orchestrator itself performs NO device
+    work and therefore cannot hang;
   * a global wall-clock budget (env BENCH_BUDGET_S, default 1500 s)
     is checked between stages — remaining stages are skipped with
     {"skipped": "budget"};
   * the sparse bench's TPU block-panel attempt (which crashed the
     remote TPU worker in the first r03 run) is OFF by default
     (opt-in via BENCH_SPARSE_TPU=1); the CPU number is still reported.
+
+Run a single stage in-process: `python bench.py --stage <name>
+[--args '<json kwargs>']` (this is what the orchestrator spawns).
 
 Headline config (BASELINE.md config 5): a batch of independent n=256
 scenario QPs (box + budget constraints) solved ON THE TPU to the
@@ -42,7 +50,6 @@ import os
 os.environ.setdefault("OMP_NUM_THREADS", "1")  # single-core baseline
 
 import json
-import signal
 import sys
 import time
 
@@ -78,36 +85,122 @@ def emit():
         pass
 
 
-class StageTimeout(Exception):
-    pass
+def _setup_jax():
+    """Per-process JAX configuration (stage subprocesses + --stage)."""
+    import jax
+    if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
+        # the axon sitecustomize overrides JAX_PLATFORMS; updating the
+        # config after import reliably selects CPU (harness testing)
+        jax.config.update("jax_platforms", "cpu")
+    # IPM needs true f32 matmuls (default TPU matmul is bf16-based)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      0.0)
+    jax.config.update("jax_enable_x64", True)
+    return jax
 
 
-def _on_alarm(signum, frame):                        # pragma: no cover
-    raise StageTimeout()
+def stage_device():
+    jax = _setup_jax()
+    d = jax.devices()[0]
+    return {"device": str(d), "platform": d.platform}
 
 
-def run_stage(name, fn, timeout_s):
-    """Run one bench stage under its own SIGALRM timeout and the
-    global wall-clock budget.  Returns the stage result, or a dict
-    with an 'error'/'skipped' key; never raises."""
+def run_stage(name, timeout_s, kwargs=None):
+    """Run one bench stage in a SUBPROCESS under a hard timeout and
+    the global wall-clock budget.  The child prints one JSON line;
+    a hang is SIGKILLed by subprocess.run's timeout (a blocked remote
+    C call cannot be interrupted by signal handlers in-process).
+    Returns the stage result dict/value, or {'error'|'skipped': ...};
+    never raises."""
+    import subprocess
     remaining = BUDGET_S - (time.time() - T0)
     if remaining < 20:
         return {"skipped": "budget"}
     t = int(min(timeout_s, max(remaining, 20)))
-    signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(t)
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", name]
+    if kwargs:
+        cmd += ["--args", json.dumps(kwargs)]
     t0 = time.time()
     try:
-        out = fn()
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=t, cwd=_HERE)
+        out = None
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{") or line.startswith("["):
+                try:
+                    out = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+            # bare floats (the baseline stages return scalars)
+            try:
+                out = float(line)
+                break
+            except ValueError:
+                continue
+        if out is None:
+            tail = (proc.stderr or proc.stdout or "")[-400:]
+            return {"error": f"no JSON from stage (rc={proc.returncode})",
+                    "tail": tail}
         RESULT["stages_done"].append(name)
         return out
-    except StageTimeout:                             # pragma: no cover
-        return {"error": f"stage timeout after {t}s"}
+    except subprocess.TimeoutExpired:
+        return {"error": f"stage killed after {t}s timeout"}
     except Exception as e:                           # pragma: no cover
         return {"error": repr(e)[:200]}
     finally:
-        signal.alarm(0)
         RESULT["stage_s"][name] = round(time.time() - t0, 1)
+
+
+def stage_socp(**kw):
+    """SOCP stage with in-process HBM-pressure retry: halve the chunk
+    width, double the chunk count (total scenarios fixed) on OOM."""
+    nb = kw.pop("nb", 2048)
+    chunks = kw.pop("chunks", 5)
+    err = None
+    while nb >= 4:
+        try:
+            return bench_socp(nb=nb, chunks=chunks, **kw)
+        except Exception as e:                       # pragma: no cover
+            err = {"error": repr(e)[:200], "nb": nb}
+            if "RESOURCE_EXHAUSTED" not in repr(e) \
+                    and "memory" not in repr(e).lower():
+                return err
+            nb //= 2
+            chunks *= 2
+    return err
+
+
+_STAGES = {
+    "device": lambda **kw: stage_device(),
+    "cpu_baseline": lambda **kw: bench_cpu_baseline(**kw),
+    "socp_baseline": lambda **kw: bench_socp_baseline(**kw),
+    "sdp_baseline": lambda **kw: bench_sdp_baseline(**kw),
+    "cascade": lambda **kw: bench_cascade(**kw),
+    "socp": lambda **kw: stage_socp(**kw),
+    "large_kkt": lambda **kw: bench_large_kkt(**kw),
+    "sdp": lambda **kw: bench_sdp(**kw),
+    "markowitz": lambda **kw: bench_markowitz(**kw),
+    "batched_lp": lambda **kw: bench_batched_lp(**kw),
+    "f32": lambda **kw: bench_f32(**kw),
+    "sparse": lambda **kw: bench_sparse(**kw),
+}
+
+
+def stage_main(name, kwargs):
+    """--stage entry: run one stage in this process, print one JSON
+    line (the orchestrator parses the LAST parseable line)."""
+    if name != "device":
+        _setup_jax()
+    try:
+        out = _STAGES[name](**kwargs)
+    except Exception as e:
+        out = {"error": repr(e)[:300]}
+    print(json.dumps(out), flush=True)
 
 
 def make_batch(nb, n, dtype=np.float64, seed=0):
@@ -806,29 +899,13 @@ def bench_cpu_baseline(n, tol, k=3, maxiters=50, repeats=2):
 
 
 def main():
-    import jax
-    if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
-        # the axon sitecustomize overrides JAX_PLATFORMS; updating the
-        # config after import reliably selects CPU (harness testing)
-        jax.config.update("jax_platforms", "cpu")
-    # IPM needs true f32 matmuls (default TPU matmul is bf16-based)
-    jax.config.update("jax_default_matmul_precision", "highest")
-    cache_dir = os.path.join(_HERE, ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_enable_x64", True)
-
-    # Device discovery contacts the (remote) TPU tunnel — guard it.
-    def _probe():
-        return jax.devices()[0]
-
-    dev = run_stage("device", _probe, 180)
-    if isinstance(dev, dict):                        # pragma: no cover
-        RESULT["device"] = dev
+    dev = run_stage("device", 180)
+    if not isinstance(dev, dict) or "platform" not in dev:
+        RESULT["device"] = dev                       # pragma: no cover
         emit()
         return
-    RESULT["device"] = str(dev)
-    on_tpu = dev.platform != "cpu"
+    RESULT["device"] = dev["device"]
+    on_tpu = dev["platform"] != "cpu"
     n = int(os.environ.get("BENCH_N", 256))
     nb = int(os.environ.get("BENCH_B", 1024 if on_tpu else 8))
     RESULT["config"] = (f"{nb}x n={n} scenario QPs (l=2n box+budget), "
@@ -837,27 +914,26 @@ def main():
 
     # ---- single-core baselines FIRST, before device work contends
     # for host CPU (see bench_cpu_baseline) --------------------------
-    base = run_stage("cpu_baseline", lambda: bench_cpu_baseline(n, 1e-7),
-                     300)
+    base = run_stage("cpu_baseline", 300, {"n": n, "tol": 1e-7})
     if isinstance(base, dict) and "iters_per_s" in base:
         RESULT["baseline_iters_per_s"] = round(base["iters_per_s"], 2)
     socp_base = None
     if on_tpu and os.environ.get("BENCH_SOCP", "1") != "0":
-        socp_base = run_stage("socp_baseline", bench_socp_baseline, 240)
+        socp_base = run_stage("socp_baseline", 240)
         if isinstance(socp_base, dict):              # error/skip
             RESULT["socp_baseline"] = socp_base
             socp_base = None
     sdp_base = None
     if on_tpu and os.environ.get("BENCH_SDP", "1") != "0":
-        sdp_base = run_stage("sdp_baseline", bench_sdp_baseline, 180)
+        sdp_base = run_stage("sdp_baseline", 180)
         if isinstance(sdp_base, dict):               # error/skip
             RESULT["sdp_baseline"] = sdp_base
             sdp_base = None
     emit()
 
     # ---- headline: batched QP cascade at 1e-7 ----------------------
-    main_res = run_stage("cascade", lambda: bench_cascade(nb, n), 700)
-    if "iters_per_s" in main_res:
+    main_res = run_stage("cascade", 700, {"nb": nb, "n": n})
+    if isinstance(main_res, dict) and "iters_per_s" in main_res:
         RESULT["value"] = round(main_res["iters_per_s"], 2)
         if RESULT.get("baseline_iters_per_s"):
             RESULT["vs_baseline"] = round(
@@ -882,70 +958,49 @@ def main():
 
     # ---- SOCP (north-star config) ----------------------------------
     if os.environ.get("BENCH_SOCP", "1") != "0":
-        def _socp():
-            nb_socp = int(os.environ.get("BENCH_SOCP_NB",
-                                         2048 if on_tpu else 4))
-            chunks_socp = int(os.environ.get("BENCH_SOCP_CHUNKS",
-                                             5 if on_tpu else 1))
-            socp = None
-            while nb_socp >= 4:
-                try:
-                    return bench_socp(
-                        nb=nb_socp, n=64 if on_tpu else 16,
-                        nq=100 if on_tpu else 10, chunks=chunks_socp,
-                        baseline_iters_per_s=socp_base)
-                except Exception as e:               # pragma: no cover
-                    socp = {"error": repr(e)[:200], "nb": nb_socp}
-                    if "RESOURCE_EXHAUSTED" not in repr(e) \
-                            and "memory" not in repr(e).lower():
-                        return socp
-                    # halve chunk width, double chunk count: total
-                    # scenario count stays fixed under HBM pressure
-                    nb_socp //= 2
-                    chunks_socp *= 2
-            return socp
-
-        RESULT["socp"] = run_stage("socp", _socp, 700)
+        kw = {"nb": int(os.environ.get("BENCH_SOCP_NB",
+                                       2048 if on_tpu else 4)),
+              "n": 64 if on_tpu else 16,
+              "nq": 100 if on_tpu else 10,
+              "chunks": int(os.environ.get("BENCH_SOCP_CHUNKS",
+                                           5 if on_tpu else 1)),
+              "baseline_iters_per_s": socp_base}
+        RESULT["socp"] = run_stage("socp", 700, kw)
         emit()
 
     # ---- n=10240 KKT component breakdown (BASELINE primary) --------
     if os.environ.get("BENCH_LARGE", "1") != "0":
         RESULT["kkt_factor_solve_ms_n10240"] = run_stage(
-            "large_kkt",
-            lambda: bench_large_kkt(10240 if on_tpu else 2048), 400)
+            "large_kkt", 400, {"n": 10240 if on_tpu else 2048})
         emit()
 
     # ---- SDP (mcsdp m=200 + batched 16x m=50) ----------------------
     if os.environ.get("BENCH_SDP", "1") != "0":
         RESULT["sdp"] = run_stage(
-            "sdp",
-            lambda: bench_sdp(m=200 if on_tpu else 25,
-                              baseline_iters_per_s=sdp_base), 500)
+            "sdp", 600, {"m": 200 if on_tpu else 25,
+                         "baseline_iters_per_s": sdp_base})
         emit()
 
     # ---- Markowitz portfolio QPs -----------------------------------
     if on_tpu and os.environ.get("BENCH_MARKOWITZ", "1") != "0":
-        RESULT["markowitz"] = run_stage("markowitz", bench_markowitz,
-                                        400)
+        RESULT["markowitz"] = run_stage("markowitz", 400)
         emit()
 
     # ---- batched vmapped simplex (exact-vertex LPs) ----------------
     if os.environ.get("BENCH_LP", "1") != "0":
-        RESULT["batched_lp"] = run_stage("batched_lp", bench_batched_lp,
-                                         300)
+        RESULT["batched_lp"] = run_stage("batched_lp", 300)
         emit()
 
     # ---- f32 diagnostic mode ---------------------------------------
     if on_tpu and os.environ.get("BENCH_F32", "1") != "0":
-        RESULT["f32_mode"] = run_stage("f32",
-                                       lambda: bench_f32(nb, n), 300)
+        RESULT["f32_mode"] = run_stage("f32", 300,
+                                       {"nb": nb, "n": n})
         emit()
 
     # ---- sparse LP LAST (its TPU attempt is opt-in, see above) -----
     if os.environ.get("BENCH_SPARSE", "1") != "0":
         RESULT["sparse_lp"] = run_stage(
-            "sparse",
-            lambda: bench_sparse(100_000 if on_tpu else 20_000), 400)
+            "sparse", 400, {"n": 100_000 if on_tpu else 20_000})
 
     RESULT["incomplete"] = False
     RESULT["total_s"] = round(time.time() - T0, 1)
@@ -953,4 +1008,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--stage":
+        kwargs = {}
+        if len(sys.argv) > 4 and sys.argv[3] == "--args":
+            kwargs = json.loads(sys.argv[4])
+        stage_main(sys.argv[2], kwargs)
+    else:
+        main()
