@@ -656,12 +656,24 @@ def bench_large_kkt(n=10240):
             S = F @ F.T + jnp.eye(n) + (Gt * d) @ Gt.T
         return S
 
+    from cvxopt_tpu.ops.blockinv import blocked_cholesky, spd_inverse
+
     # the seed perturbations below keep every request distinct (the
     # remote backend caches identical requests) at negligible cost
     @jax.jit
-    def factor(seed, S):
+    def factor_xla(seed, S):
         Sp = S.at[0, 0].add(1e-6 * seed)
         return jnp.sum(jnp.linalg.cholesky(Sp))
+
+    @jax.jit
+    def factor_blocked(seed, S):
+        Sp = S.at[0, 0].add(1e-6 * seed)
+        return jnp.sum(blocked_cholesky(Sp))
+
+    @jax.jit
+    def factor_inv(seed, S):
+        Sp = S.at[0, 0].add(1e-6 * seed)
+        return jnp.sum(spd_inverse(Sp, base=1280))
 
     @jax.jit
     def solve(seed, L):
@@ -670,6 +682,12 @@ def bench_large_kkt(n=10240):
         y = jsl.solve_triangular(L, b[:, None], lower=True)
         x = jsl.solve_triangular(L.T, y, lower=False)
         return x.sum()
+
+    @jax.jit
+    def solve_inv(seed, Sinv):
+        b = jax.random.normal(jax.random.PRNGKey(seed), (n,),
+                              jnp.float32)
+        return (Sinv @ b).sum()
 
     def t_of(f, *args):
         # fetch a scalar per rep: block_until_ready does not force a
@@ -688,16 +706,41 @@ def bench_large_kkt(n=10240):
     S = assemble(0, F, Gt, prec="high")
     L = jnp.linalg.cholesky(S)
     _ = float(L[0, 0])
-    t_fac = t_of(factor, S)
+    t_fac = t_of(factor_xla, S)
+    t_fac_blk = t_of(factor_blocked, S)
+    try:
+        t_fac_inv = t_of(factor_inv, S)
+        Sinv = spd_inverse(S, base=1280)
+        t_sol_inv = t_of(solve_inv, Sinv)
+        # accuracy probe of the inverse route (f32, kappa-limited —
+        # the IPM's f64 refinement consumes this)
+        b = jnp.ones((n,), jnp.float32)
+        relres = float(jnp.linalg.norm(S @ (Sinv @ b) - b)
+                       / jnp.linalg.norm(b))
+    except Exception as e:                           # pragma: no cover
+        t_fac_inv, t_sol_inv, relres = None, None, repr(e)[:120]
     t_sol = t_of(solve, L)
-    total = t_asm_hi + t_fac + t_sol
+    best_fac = min(x for x in (t_fac, t_fac_blk, t_fac_inv)
+                   if x is not None)
+    best_sol = t_sol_inv if (t_fac_inv is not None
+                             and t_fac_inv == best_fac) else t_sol
+    total = t_asm_hi + best_fac + best_sol
     return dict(total_ms=round(total * 1e3, 1),
                 assembly_high_ms=round(t_asm_hi * 1e3, 1),
                 assembly_highest_ms=round(t_asm_hst * 1e3, 1),
-                factor_ms=round(t_fac * 1e3, 1),
-                solve_ms=round(t_sol * 1e3, 1),
+                factor_xla_chol_ms=round(t_fac * 1e3, 1),
+                factor_blocked_chol_ms=round(t_fac_blk * 1e3, 1),
+                factor_spd_inverse_ms=(
+                    round(t_fac_inv * 1e3, 1) if t_fac_inv else None),
+                solve_triangular_ms=round(t_sol * 1e3, 1),
+                solve_inverse_matvec_ms=(
+                    round(t_sol_inv * 1e3, 1) if t_sol_inv else None),
+                inverse_relres_f32=relres,
+                factor_ms=round(best_fac * 1e3, 1),
+                solve_ms=round(best_sol * 1e3, 1),
                 note="f32 + f64 iterative refinement; assembly at "
-                     "3-pass 'high' matmul precision")
+                     "3-pass 'high' matmul precision; factor/solve = "
+                     "best of XLA chol / blocked chol / spd_inverse")
 
 
 def bench_markowitz(nb=64, n=500, maxiters=50):

@@ -9,9 +9,11 @@ solution back into per-block pieces with the reference's result keys
 `solver='glpk'` dispatches to the native simplex (cvxopt_tpu.simplex —
 exact vertex solutions, reference dispatch semantics
 coneprog.py:2807-2875 reproduced: residuals recomputed from the
-returned vertex).  'mosek'/'dsdp' have no native counterpart and raise
-ValueError.  The default (None) path — the reference's own IPM — is
-fully supported.
+returned vertex).  `solver='mosek'` dispatches to the MOSEK bridge
+(cvxopt_tpu.msk, requires the commercial `mosek` package installed).
+'dsdp' has no external counterpart and raises ValueError (the native
+conelp 's' path provides the capability).  The default (None) path —
+the reference's own IPM — is fully supported.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from cvxopt_tpu.cones import ConeDims
 from cvxopt_tpu.conelp import conelp
 from cvxopt_tpu.coneqp import coneqp
 
-_EXTERNAL = ("mosek", "dsdp")
+_EXTERNAL = ("dsdp",)
 
 
 def _check_solver(solver):
@@ -71,7 +73,15 @@ def _lp_glpk(c, G, h, A, b, options):
     if not has_A:
         A = np.zeros((0, n))
         b = np.zeros((0,))
+    return _vertex_result(c, G, h, A, b, status, x, z, y)
 
+
+def _vertex_result(c, G, h, A, b, status, x, z, y):
+    """Reference-format LP result dict recomputed from an external
+    solver's (x, z, y) (coneprog.py:2807-2875 / :2877-3007 pattern:
+    all residual/objective fields are recomputed locally so the
+    result is solver-independent)."""
+    m = G.shape[0]
     none = dict.fromkeys(
         ("primal objective", "dual objective", "gap", "relative gap",
          "primal infeasibility", "dual infeasibility", "primal slack",
@@ -110,18 +120,100 @@ def _lp_glpk(c, G, h, A, b, options):
     return out
 
 
+def _msk_status(solsta):
+    """Map mosek solsta -> reference status string
+    (coneprog.py:2877-3007)."""
+    import mosek
+    if solsta is mosek.solsta.optimal:
+        return "optimal"
+    if solsta is mosek.solsta.prim_infeas_cer:
+        return "primal infeasible"
+    if solsta is mosek.solsta.dual_infeas_cer:
+        return "dual infeasible"
+    return "unknown"
+
+
+def _lp_mosek(c, G, h, A, b, options):
+    """solver='mosek' branch of lp (coneprog.py:2877-3007): run the
+    MOSEK bridge, map solsta, recompute all result fields locally."""
+    from cvxopt_tpu import msk as msk_mod
+    from cvxopt_tpu import solvers as _solvers
+
+    if options is not None and "mosek" in options:
+        opts = dict(options["mosek"])
+    elif "mosek" in _solvers.options:
+        opts = dict(_solvers.options["mosek"])
+    else:
+        opts = dict(msk_mod.options)
+    c = np.asarray(c, dtype=float).reshape(-1)
+    n = c.shape[0]
+    G = np.asarray(G, dtype=float).reshape(-1, n)
+    h = np.asarray(h, dtype=float).reshape(-1)
+    has_A = A is not None
+    if has_A:
+        A = np.asarray(A, dtype=float).reshape(-1, n)
+        b = np.asarray(b, dtype=float).reshape(-1)
+    else:
+        A = np.zeros((0, n))
+        b = np.zeros((0,))
+    solsta, x, z, y = msk_mod.lp(c, G, h,
+                                 A if has_A else None,
+                                 b if has_A else None, options=opts)
+    status = _msk_status(solsta)
+    if status != "optimal":
+        x = z = y = None
+    elif y is None:
+        y = np.zeros((0,))
+    return _vertex_result(c, G, h, A, b, status, x, z, y)
+
+
 def lp(c, G, h, A=None, b=None, solver=None, options=None, **kwargs):
     """LP front-end (coneprog.py:2550): conelp with dims = {'l': m},
-    or the native simplex under solver='glpk'."""
+    the native simplex under solver='glpk', or the MOSEK bridge under
+    solver='mosek' (requires the `mosek` package)."""
     if solver == "glpk":
         return _lp_glpk(c, G, h, A, b, options)
+    if solver == "mosek":
+        return _lp_mosek(c, G, h, A, b, options)
     _check_solver(solver)
     return conelp(c, G, h, dims=None, A=A, b=b, options=options)
 
 
 def qp(P, q, G=None, h=None, A=None, b=None, solver=None, options=None,
        initvals=None, **kwargs):
-    """QP front-end (coneprog.py:4156): coneqp with dims = {'l': m}."""
+    """QP front-end (coneprog.py:4156): coneqp with dims = {'l': m};
+    solver='mosek' uses the MOSEK bridge."""
+    if solver == "mosek":
+        from cvxopt_tpu import msk as msk_mod
+        q1 = np.asarray(q, dtype=float).reshape(-1)
+        n = q1.shape[0]
+        Gm = (np.zeros((0, n)) if G is None
+              else np.asarray(G, dtype=float).reshape(-1, n))
+        hm = (np.zeros((0,)) if h is None
+              else np.asarray(h, dtype=float).reshape(-1))
+        has_A = A is not None
+        Am = (np.asarray(A, dtype=float).reshape(-1, n) if has_A
+              else np.zeros((0, n)))
+        bm = (np.asarray(b, dtype=float).reshape(-1) if has_A
+              else np.zeros((0,)))
+        solsta, x, z, y = msk_mod.qp(
+            np.asarray(P, dtype=float), q1, Gm, hm,
+            Am if has_A else None, bm if has_A else None,
+            options=(options or {}).get("mosek",
+                                        msk_mod.options))
+        status = _msk_status(solsta)
+        out = _vertex_result(q1, Gm, hm, Am, bm, status,
+                             x if status == "optimal" else None,
+                             z if status == "optimal" else None,
+                             (y if y is not None else np.zeros((0,)))
+                             if status == "optimal" else None)
+        if status == "optimal":
+            # objective fields use the quadratic objective
+            Pm = np.asarray(P, dtype=float).reshape(n, n)
+            pcost = 0.5 * float(x @ Pm @ x) + float(q1 @ x)
+            out["primal objective"] = pcost
+            out["dual objective"] = pcost - (out["gap"] or 0.0)
+        return out
     _check_solver(solver)
     return coneqp(P, q, G, h, dims=None, A=A, b=b, initvals=initvals,
                   options=options)
@@ -137,8 +229,11 @@ def _stack_cols(blocks, n):
 def socp(c, Gl=None, hl=None, Gq=None, hq=None, A=None, b=None,
          solver=None, options=None, **kwargs):
     """SOCP front-end (coneprog.py:3013): stacks Gl and the Gq[k] blocks
-    into one conelp call; splits s, z back into 'sl'/'sq'/'zl'/'zq'."""
-    _check_solver(solver)
+    into one conelp call; splits s, z back into 'sl'/'sq'/'zl'/'zq'.
+    solver='mosek' uses the MOSEK bridge (rejects equality
+    constraints, matching the reference, coneprog.py:3340)."""
+    if solver != "mosek":
+        _check_solver(solver)
     c = np.asarray(c, dtype=float).reshape(-1)
     n = c.shape[0]
     Gq = Gq or []
@@ -154,7 +249,24 @@ def socp(c, Gl=None, hl=None, Gq=None, hq=None, A=None, b=None,
     h = np.concatenate([hl] + [np.asarray(hk, dtype=float).reshape(-1)
                                for hk in hq])
     dims = ConeDims(l=ml, q=tuple(mq))
-    sol = conelp(c, G, h, dims=dims, A=A, b=b, options=options)
+    if solver == "mosek":
+        if A is not None:
+            raise ValueError("'mosek' does not accept equality "
+                             "constraints in socp")
+        from cvxopt_tpu import msk as msk_mod
+        solsta, x, zl_, zq_ = msk_mod.socp(
+            c, Gl, hl, Gq, hq,
+            options=(options or {}).get("mosek", msk_mod.options))
+        status = _msk_status(solsta)
+        z = (np.concatenate([np.asarray(zl_)] +
+                            [np.asarray(zk) for zk in zq_])
+             if status == "optimal" else None)
+        sol = _vertex_result(
+            c, G, h, np.zeros((0, n)), np.zeros((0,)), status,
+            np.asarray(x) if status == "optimal" else None, z,
+            np.zeros((0,)) if status == "optimal" else None)
+    else:
+        sol = conelp(c, G, h, dims=dims, A=A, b=b, options=options)
 
     def split(v):
         if v is None:
