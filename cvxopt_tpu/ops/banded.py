@@ -478,11 +478,23 @@ def gbtrs_scan(fac, B, kl, ku):
 # ---- banded triangular / general band (tb*, gb*) -----------------------
 
 def tbtrs(AB, B, uplo="L", trans="N"):
-    """Triangular banded solve.  AB (kd+1, n): lower-banded storage of
-    a lower-triangular matrix when uplo='L' (AB[0] = diagonal).
+    """Triangular banded solve.  AB (kd+1, n): banded storage of a
+    triangular matrix — lower storage (AB[0] = diagonal,
+    AB[j, i] = A[i+j, i]) for uplo='L', LAPACK upper storage
+    (AB[kd] = diagonal, AB[kd-d, j] = A[j-d, j]) for uplo='U'.
     Scan-based (O(n kd) per RHS)."""
-    if uplo != "L":
-        raise NotImplementedError("tbtrs: lower storage only")
+    if uplo == "U":
+        # U in upper storage == U' in lower storage: LB[d, i] =
+        # U'[i+d, i] = U[i, i+d] = AB[kd-d, i+d]; solving U x = b is
+        # the transpose-solve of U' and vice versa
+        kdp1, n = AB.shape
+        kd = kdp1 - 1
+        LB = jnp.stack([
+            jnp.concatenate([AB[kd - d, d:],
+                             jnp.zeros((d,), AB.dtype)])
+            for d in range(kd + 1)])
+        return tbtrs(LB, B, uplo="L",
+                     trans="T" if trans == "N" else "N")
     kdp1, n = AB.shape
     kd = kdp1 - 1
     vec = B.ndim == 1

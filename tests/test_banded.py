@@ -226,3 +226,27 @@ def test_umfpack_banded_no_densify():
     As = A[p][:, p]
     x2 = spsolve.lu_linsolve(As, b)
     assert np.abs(As @ np.asarray(x2) - b).max() < 1e-9
+
+
+def test_tbtrs_upper_storage():
+    """tbtrs uplo='U' (LAPACK upper band storage): solve U x = b and
+    U' x = b via the lower-storage transpose mapping."""
+    rng = np.random.default_rng(1)
+    n, kd = 30, 3
+    A = rng.standard_normal((n, n))
+    U = np.triu(A) - np.triu(A, kd + 1)
+    np.fill_diagonal(U, np.sign(np.diag(U)) * (3 + np.abs(np.diag(U))))
+    AB = np.zeros((kd + 1, n))
+    for d in range(kd + 1):
+        AB[kd - d, d:] = np.diagonal(U, d)
+    b = rng.standard_normal(n)
+    x = np.asarray(banded.tbtrs(jnp.asarray(AB), jnp.asarray(b),
+                                uplo="U"))
+    assert np.max(np.abs(U @ x - b)) < 1e-12
+    xt = np.asarray(banded.tbtrs(jnp.asarray(AB), jnp.asarray(b),
+                                 uplo="U", trans="T"))
+    assert np.max(np.abs(U.T @ xt - b)) < 1e-12
+    B = rng.standard_normal((n, 2))
+    X = np.asarray(banded.tbtrs(jnp.asarray(AB), jnp.asarray(B),
+                                uplo="U"))
+    assert np.max(np.abs(U @ X - B)) < 1e-12

@@ -375,3 +375,33 @@ def test_gges_generalized_schur():
     gen = np.sort_complex(np.asarray(al) / np.asarray(be))
     ref = np.sort_complex(np.linalg.eigvals(np.linalg.solve(B, A)))
     assert np.abs(gen - ref).max() < 1e-10
+
+
+def test_fft_all_dct_dst_types_vs_scipy():
+    """Full FFTW type family (REDFT00/10/01/11, RODFT00/10/01/11 =
+    DCT/DST types 1-4, reference fftw.c:1214-1225) against scipy.fft
+    in the same unnormalized convention, incl. inverses and axis
+    handling."""
+    import scipy.fft as sfft
+    rng_ = np.random.default_rng(0)
+    x = rng_.standard_normal(17)
+    X2 = rng_.standard_normal((9, 4))
+    for t in (1, 2, 3, 4):
+        np.testing.assert_allclose(
+            np.asarray(fft.dct(x, type=t)), sfft.dct(x, type=t),
+            atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(fft.dst(x, type=t)), sfft.dst(x, type=t),
+            atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(fft.idct(x, type=t)),
+            sfft.idct(x, type=t, norm=None), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(fft.idst(x, type=t)),
+            sfft.idst(x, type=t, norm=None), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(fft.dst(X2, type=2, axis=1)),
+        sfft.dst(X2, type=2, axis=1), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(fft.dct(X2, type=3, axis=1)),
+        sfft.dct(X2, type=3, axis=1), atol=1e-10)
