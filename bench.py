@@ -1018,10 +1018,13 @@ def main():
         emit()
 
     # ---- SDP (mcsdp m=200 + batched 16x m=50) ----------------------
+    # generous timeout: one f64 eigh costs ~165 s of REMOTE COMPILE on
+    # the axon tunnel (measured r04) and the SDP programs embed
+    # several; with a warm persistent cache the stage runs in ~1 min
     if os.environ.get("BENCH_SDP", "1") != "0":
         RESULT["sdp"] = run_stage(
-            "sdp", 600, {"m": 200 if on_tpu else 25,
-                         "baseline_iters_per_s": sdp_base})
+            "sdp", 1200, {"m": 200 if on_tpu else 25,
+                          "baseline_iters_per_s": sdp_base})
         emit()
 
     # ---- Markowitz portfolio QPs -----------------------------------

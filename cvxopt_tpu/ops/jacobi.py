@@ -1,24 +1,38 @@
 """Batched small-matrix symmetric eigensolver — parallel-ordered
-cyclic Jacobi.
+cyclic Jacobi — and the accurate-eigh wrappers the 's'-cone paths use
+on the axon TPU backend.
 
 XLA's batched `eigh` lowers to a sequential tridiagonalization + QR
-pipeline per matrix; for LARGE BATCHES of SMALL matrices (the 's'-cone
-scaling updates: compute/update_scaling and max_step_eig run eigh over
-(count, m, m) stacks every IPM iteration, SURVEY §3.1) the dispatch
-and latency dominate.  This implementation is pure batched
-matmul/elementwise work: each round applies m/2 DISJOINT Givens
-rotations (round-robin tournament ordering) as one (m, m) rotation
-matrix conjugation, so a sweep is m-1 rounds of 3 batched matmuls and
-the whole solve is `sweeps` fori_loop iterations of a fixed program.
+pipeline per matrix; in emulated f64 on the axon TPU tunnel ONE eigh
+instance costs ~165 s of REMOTE COMPILE (measured r04, run time ~0).
+This module therefore keeps every Jacobi loop COMPILE-SMALL: the
+(m-1) rotation rounds of a sweep are a `lax.scan` over a precomputed
+pairs table (program size O(1) in m, not O(m)), and the accurate-eigh
+wrappers seed from an f32 eigh — numerically free, because the
+platform's emulated-f64 eigh is only f32-GRADE anyway (measured
+reconstruction error ~4e-7*||A||, relative errors up to 1e+2 on small
+eigenvalues), while its f64 matmul/elementwise ops ARE f64-accurate
+(~1e-15; ops/matvec.py measurement series).
 
-Accuracy: cyclic Jacobi converges quadratically; `sweeps=12` reaches
-~1e-13 relative off-diagonal mass for m <= 64 in f64 (measured in
-tests).  Jacobi is also more accurate than QR-based eigh for small
-eigenvalues (relative accuracy for positive definite matrices —
-Demmel/Veselic), which is what the NT scaling consumes.
+Jacobi is also more accurate than QR-based eigh for small eigenvalues
+(relative accuracy for positive definite matrices — Demmel/Veselic),
+which is what the NT scaling consumes (the reference computes this
+scaling through gesvd for the same reason, misc.py:393-414).
 
-Opt-in: `cones.max_step_eig` / `scaling` keep XLA's eigh by default;
-benchmark-driven call sites select this for stacked small blocks.
+Odd m is handled by padding to m+1 with a decoupled unit diagonal:
+pairs touching the pad index see a zero coupling, their rotations
+reduce to the identity, and the pad row/column is sliced off before
+sorting.
+
+Two accurate flavors:
+  eigh_accurate      — f32-eigh seed + two-sided polish of T = V'AV
+                       (near-diagonal, so 2 sweeps reach
+                       ~||A||*eps_f64 absolute);
+  gram_eigh_accurate — for A = M'M given M: one-sided Jacobi on
+                       B = M V0, which (Demmel-Veselic) delivers
+                       RELATIVE accuracy for the small eigenvalues.
+Both are identity-cost on CPU (plain f64 eigh) where XLA's eigh is
+already f64-exact.
 """
 
 from __future__ import annotations
@@ -48,29 +62,67 @@ def _round_robin(m: int):
     return tuple(tuple(r) for r in rounds)
 
 
+@functools.lru_cache(maxsize=32)
+def _round_robin_table(m: int):
+    """Padded-to-even pairings as arrays for `lax.scan`: me = m+(m%2),
+    returns (p, q) int32 arrays of shape (me-1, me//2) covering all
+    pairs of range(me) — pairs involving index m (the pad, odd m
+    only) rotate by identity because the pad is decoupled."""
+    me = m + (m % 2)
+    players = list(range(me))
+    ps, qs = [], []
+    for _ in range(me - 1):
+        pr = [min(players[i], players[me - 1 - i])
+              for i in range(me // 2)]
+        qr = [max(players[i], players[me - 1 - i])
+              for i in range(me // 2)]
+        ps.append(pr)
+        qs.append(qr)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return (np.asarray(ps, np.int32), np.asarray(qs, np.int32), me)
+
+
+def _pad_even(A, me):
+    """Pad (..., m, m) to (..., me, me) with a decoupled unit
+    diagonal."""
+    m = A.shape[-1]
+    if me == m:
+        return A
+    pad = [(0, 0)] * (A.ndim - 2) + [(0, me - m), (0, me - m)]
+    A = jnp.pad(A, pad)
+    return A.at[..., m:, m:].set(jnp.eye(me - m, dtype=A.dtype))
+
+
+def _rotation(app, aqq, apq, dtype):
+    """Stable Jacobi rotation (Golub & Van Loan 8.4): returns (c, s)
+    zeroing the (p, q) coupling; identity where apq == 0."""
+    tau = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(apq == 0.0, jnp.zeros((), dtype), t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    return c, t * c
+
+
 def eigh_jacobi(A, sweeps: int = 12):
     """Batched eigh: returns (w, V) with A = V diag(w) V', w ascending
-    — same contract as jnp.linalg.eigh.  A: (..., m, m) symmetric."""
+    — same contract as jnp.linalg.eigh.  A: (..., m, m) symmetric.
+    Pure batched matmul/elementwise work; compile-small (the rotation
+    rounds are a scan over a pairs table)."""
     m = A.shape[-1]
     batch = A.shape[:-2]
     dtype = A.dtype
-    rounds = _round_robin(m)
-    eye = jnp.eye(m, dtype=dtype)
+    prs, qrs, me = _round_robin_table(m)
+    A = _pad_even(A, me)
+    eye = jnp.eye(me, dtype=dtype)
 
-    def one_round(A, V, pairs):
-        p = jnp.asarray([pq[0] for pq in pairs])
-        q = jnp.asarray([pq[1] for pq in pairs])
+    def one_round(AV, pq):
+        A, V = AV
+        p, q = pq
         app = A[..., p, p]
         aqq = A[..., q, q]
         apq = A[..., p, q]
-        # stable rotation angle (Golub & Van Loan 8.4)
-        tau = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
-        t = jnp.sign(tau) / (jnp.abs(tau)
-                             + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(apq == 0.0, 0.0, t)
-        c = 1.0 / jnp.sqrt(1.0 + t * t)
-        s = t * c
-        J = jnp.broadcast_to(eye, batch + (m, m))
+        c, s = _rotation(app, aqq, apq, dtype)
+        J = jnp.broadcast_to(eye, batch + (me, me))
         J = J.at[..., p, p].set(c)
         J = J.at[..., q, q].set(c)
         J = J.at[..., p, q].set(s)
@@ -80,17 +132,18 @@ def eigh_jacobi(A, sweeps: int = 12):
         V = V @ J
         # re-symmetrize against drift
         A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-        return A, V
+        return (A, V), 0
+
+    xs = (jnp.asarray(prs), jnp.asarray(qrs))
 
     def sweep(_, AV):
-        A, V = AV
-        for pairs in rounds:
-            A, V = one_round(A, V, pairs)
-        return A, V
+        AV, _ = lax.scan(one_round, AV, xs)
+        return AV
 
-    V0 = jnp.broadcast_to(eye, batch + (m, m))
+    V0 = jnp.broadcast_to(eye, batch + (me, me))
     A, V = lax.fori_loop(0, sweeps, sweep, (A, V0))
-    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)[..., :m]
+    V = V[..., :m, :m]
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
     V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
@@ -101,97 +154,88 @@ def eigvalsh_jacobi(A, sweeps: int = 12):
     return eigh_jacobi(A, sweeps=sweeps)[0]
 
 
-# ---------------------------------------------------------------------
-# Accurate-eigh wrappers for the axon TPU backend.
-#
-# The platform's emulated-f64 `eigh` is only f32-GRADE: measured
-# reconstruction error ~4e-7 * ||A|| and relative errors up to 1e+2 on
-# small eigenvalues (scripts/ — vs ~1e-15 for a true f64 eigh), while
-# its f64 matmul/elementwise ops ARE f64-accurate (~1e-15, the same
-# measurement series as ops/matvec.py).  The 's'-cone NT scaling is
-# built FROM the small eigenvalues (lambda^2 ~ mu near convergence), so
-# the raw eigh poisons the scaling and the conelp 's' path stalls with
-# growing residuals (mcsdp m=200: dres diverged 4x/iteration on TPU
-# while the identical program converges on CPU).
-#
-# Fix: polish the XLA eigh output with Jacobi rotations executed in the
-# ACCURATE op set (matmuls + elementwise).  Two flavors:
-#   eigh_accurate      — two-sided polish of T = V'AV (near-diagonal,
-#                        so 2 sweeps reach ~||A||*eps_f64 absolute);
-#   gram_eigh_accurate — for A = M'M given M: one-sided Jacobi on
-#                        B = M V0, which (Demmel-Veselic) delivers
-#                        RELATIVE accuracy for the small eigenvalues —
-#                        the same reason the reference computes this
-#                        scaling through gesvd (misc.py:393-414).
-# Both are identity-cost on CPU (plain eigh) where XLA's eigh is
-# already f64-exact.
-# ---------------------------------------------------------------------
-
-
 def _needs_polish(dtype):
     return dtype == jnp.float64 and jax.default_backend() != "cpu"
 
 
-def eigh_accurate(A, sweeps: int = 2, force: bool = False):
-    """jnp.linalg.eigh with a 2-sweep Jacobi polish on accelerator
-    backends (see block comment).  Same (w ascending, V) contract."""
-    w0, V0 = jnp.linalg.eigh(A)
+def _seed_eigh(A):
+    """Seed eigendecomposition for the polish: f32 XLA eigh on
+    accelerator backends (the emulated-f64 eigh is f32-grade AND its
+    remote compile is ~165 s/instance; the f32 program is native and
+    far smaller), re-orthonormalized in f64 by two Newton-Schulz
+    steps (V <- V(3I - V'V)/2, quadratic: 1e-7 seed error -> machine)
+    — without this the seed's f32-grade non-orthogonality puts a
+    ~1e-7 floor under the polished eigenvalues (measured)."""
+    w0, V0 = jnp.linalg.eigh(A.astype(jnp.float32))
+    V = V0.astype(A.dtype)
+    eye3 = 3.0 * jnp.eye(A.shape[-1], dtype=A.dtype)
+    for _ in range(2):
+        V = 0.5 * V @ (eye3 - jnp.swapaxes(V, -1, -2) @ V)
+    return w0.astype(A.dtype), V
+
+
+def eigh_accurate(A, sweeps: int = 3, force: bool = False):
+    """jnp.linalg.eigh with an f32 seed + Jacobi polish on accelerator
+    backends (see module docstring).  Same (w ascending, V) contract."""
     if not (force or _needs_polish(A.dtype)):
-        return w0, V0
+        return jnp.linalg.eigh(A)
+    _, V0 = _seed_eigh(A)
     T = jnp.swapaxes(V0, -1, -2) @ A @ V0
     T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
     w, U = eigh_jacobi(T, sweeps=sweeps)
     return w, V0 @ U
 
 
-def gram_eigh_accurate(M, sweeps: int = 3, force: bool = False):
+def gram_eigh_accurate(M, sweeps: int = 6, force: bool = False):
     """Eigendecomposition of A = M'M WITHOUT forming it, with relative
     accuracy on small eigenvalues: one-sided Jacobi on B = M V0 (V0
-    from the fast eigh of M'M), orthogonalizing COLUMN pairs.  Returns
-    (w ascending, V) with M'M = V diag(w) V' and w_i = ||B v_i||^2
-    computed from accurate column norms.  On CPU (or non-f64) falls
-    back to plain eigh of M'M."""
+    from the f32 seed eigh of M'M), orthogonalizing COLUMN pairs.
+    Returns (w ascending, V) with M'M = V diag(w) V' and
+    w_i = ||B v_i||^2 computed from accurate column norms.  On CPU
+    (or non-f64) falls back to plain eigh of M'M."""
     mc = M.shape[-1]
+    if not (force or _needs_polish(M.dtype)):
+        G0 = jnp.swapaxes(M, -1, -2) @ M
+        G0 = 0.5 * (G0 + jnp.swapaxes(G0, -1, -2))
+        return jnp.linalg.eigh(G0)
     G0 = jnp.swapaxes(M, -1, -2) @ M
     G0 = 0.5 * (G0 + jnp.swapaxes(G0, -1, -2))
-    w0, V0 = jnp.linalg.eigh(G0)
-    if not (force or _needs_polish(M.dtype)):
-        return w0, V0
+    _, V0 = _seed_eigh(G0)
     batch = jnp.broadcast_shapes(M.shape[:-2], V0.shape[:-2])
-    B = M @ V0
-    rounds = _round_robin(mc)
-    eye = jnp.eye(mc, dtype=M.dtype)
+    prs, qrs, me = _round_robin_table(mc)
+    # pad B with zero columns / V with decoupled unit diagonal
+    if me != mc:
+        B = jnp.pad(M @ V0, [(0, 0)] * (M.ndim - 1) + [(0, me - mc)])
+    else:
+        B = M @ V0
+    eye = jnp.eye(me, dtype=M.dtype)
+    Vp = _pad_even(jnp.broadcast_to(V0, batch + (mc, mc)), me)
 
-    def one_round(B, V, pairs):
-        p = jnp.asarray([pq[0] for pq in pairs])
-        q = jnp.asarray([pq[1] for pq in pairs])
+    def one_round(BV, pq):
+        B, V = BV
+        p, q = pq
         Bp = B[..., :, p]
         Bq = B[..., :, q]
         app = jnp.sum(Bp * Bp, axis=-2)
         aqq = jnp.sum(Bq * Bq, axis=-2)
         apq = jnp.sum(Bp * Bq, axis=-2)
-        tau = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
-        t = jnp.sign(tau) / (jnp.abs(tau)
-                             + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(apq == 0.0, 0.0, t)
-        c = 1.0 / jnp.sqrt(1.0 + t * t)
-        s = t * c
-        J = jnp.broadcast_to(eye, batch + (mc, mc))
+        c, s = _rotation(app, aqq, apq, M.dtype)
+        J = jnp.broadcast_to(eye, batch + (me, me))
         J = J.at[..., p, p].set(c)
         J = J.at[..., q, q].set(c)
         J = J.at[..., p, q].set(s)
         J = J.at[..., q, p].set(-s)
-        return B @ J, V @ J
+        return (B @ J, V @ J), 0
+
+    xs = (jnp.asarray(prs), jnp.asarray(qrs))
 
     def sweep(_, BV):
-        B, V = BV
-        for pairs in rounds:
-            B, V = one_round(B, V, pairs)
-        return B, V
+        BV, _ = lax.scan(one_round, BV, xs)
+        return BV
 
-    V0b = jnp.broadcast_to(V0, batch + (mc, mc))
-    B, V = lax.fori_loop(0, sweeps, sweep, (B, V0b))
-    w = jnp.sum(B * B, axis=-2)
+    B, V = lax.fori_loop(0, sweeps, sweep, (B, Vp))
+    w = jnp.sum(B * B, axis=-2)[..., :mc]
+    V = V[..., :mc, :mc]
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
     V = jnp.take_along_axis(V, order[..., None, :], axis=-1)

@@ -29,9 +29,12 @@ def test_eigh_jacobi_matches_numpy():
 
 
 def test_eigh_accurate_polish_forced():
-    # force the polish path on CPU: result must still match numpy
+    # force the polish path on CPU: result must still match numpy.
+    # From an f32-grade seed, 6 two-sided sweeps reach f64 absolute
+    # accuracy at kappa=1e10 (measured; defaults use 3 — enough for
+    # the max_step/scaling absolute-accuracy consumers)
     S, _ = _spd(32, 1e10, seed=2)
-    w, V = eigh_accurate(jnp.asarray(S), force=True)
+    w, V = eigh_accurate(jnp.asarray(S), sweeps=6, force=True)
     wn = np.linalg.eigvalsh(S)
     np.testing.assert_allclose(np.asarray(w), wn, rtol=1e-7,
                                atol=1e-13)
@@ -50,11 +53,14 @@ def test_gram_eigh_accurate_relative_small_eigs():
     Vt, _ = np.linalg.qr(rng.standard_normal((m, m)))
     sig = np.logspace(0.0, -6.0, m)              # kappa(M'M) = 1e12
     M = (U * sig) @ Vt.T
-    w, V = gram_eigh_accurate(jnp.asarray(M), sweeps=4, force=True)
+    # f32-grade seeds (the TPU reality) need ~6 one-sided sweeps
+    # to recover relative accuracy at kappa = 1e12 (measured:
+    # 4 sweeps -> 1.4e-8, 6 sweeps -> 6e-12)
+    w, V = gram_eigh_accurate(jnp.asarray(M), sweeps=6, force=True)
     w = np.asarray(w)
     wn = np.sort(sig**2)
     rel = np.abs(w - wn) / wn
-    assert rel.max() < 1e-8, rel.max()
+    assert rel.max() < 1e-9, rel.max()
     # eigenvectors diagonalize M'M
     G = M.T @ M
     Vn = np.asarray(V)
@@ -70,7 +76,7 @@ def test_gram_eigh_accurate_batched():
         sig = np.logspace(0, -4, 8)
         Ms.append((U * sig) @ U.T)
     M = jnp.asarray(np.stack(Ms))
-    w, V = gram_eigh_accurate(M, sweeps=4, force=True)
+    w, V = gram_eigh_accurate(M, sweeps=6, force=True)
     for k in range(3):
         wn = np.linalg.eigvalsh(Ms[k].T @ Ms[k])
         np.testing.assert_allclose(np.asarray(w)[k], wn,
