@@ -197,9 +197,9 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
     if warm and cold is not None:
         # per-instance warm-start validation (vmap-safe select): a
         # non-finite or non-interior handoff would NaN compute_scaling
+        tsz_w = cones.max_step(jnp.stack([s, z]), dims)
         valid = (jnp.isfinite(_tdot(x, x)) & jnp.isfinite(jnp.sum(y))
-                 & (cones.max_step(s, dims) < 0)
-                 & (cones.max_step(z, dims) < 0))
+                 & (tsz_w[0] < 0) & (tsz_w[1] < 0))
         x = jax.tree_util.tree_map(
             lambda w, cl: jnp.where(valid, w, cl), x, cold[0])
         y = jax.tree_util.tree_map(
@@ -334,8 +334,10 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         wkappa3 = dtau * dkappa
         ds_sc = nt.scale2(lmbda, ds, dims)
         dz_sc = nt.scale2(lmbda, dz, dims)
-        ts = cones.max_step(ds_sc, dims)
-        tz = cones.max_step(dz_sc, dims)
+        # one stacked call: a single eigh instance covers both cone
+        # vectors (compile + runtime: the 's' eigh is the hot op)
+        tsz = cones.max_step(jnp.stack([ds_sc, dz_sc]), dims)
+        ts, tz = tsz[0], tsz[1]
         tt = -dtau / lg
         tk = -dkappa / lg
         t = jnp.maximum(
@@ -351,8 +353,11 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
             (1.0 - sigma) * rz, (1.0 - sigma) * rt, ds_in, dk_in)
         ds_sc = nt.scale2(lmbda, ds, dims)
         dz_sc = nt.scale2(lmbda, dz, dims)
-        ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
-        tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
+        tsz, sig2, dq2 = cones.max_step_eig(
+            jnp.stack([ds_sc, dz_sc]), dims)
+        ts, tz = tsz[0], tsz[1]
+        sigs, sigz = sig2[0], sig2[1]
+        ds_q, dz_q = dq2[0], dq2[1]
         tt = -dtau / lg
         tk = -dkappa / lg
         t = jnp.maximum(

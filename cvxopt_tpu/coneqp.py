@@ -95,9 +95,9 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
             # compute_scaling on the spot; those instances restart from
             # the cold initial point instead (vmap-safe elementwise
             # select — the cascade's phase B relies on this)
+            tsz_w = cones.max_step(jnp.stack([s, z]), dims)
             valid = (jnp.isfinite(jnp.sum(x)) & jnp.isfinite(jnp.sum(y))
-                     & (cones.max_step(s, dims) < 0)
-                     & (cones.max_step(z, dims) < 0))
+                     & (tsz_w[0] < 0) & (tsz_w[1] < 0))
             if "_valid" in initvals:
                 # caller-supplied validity (the cascade: phase A must
                 # have actually converged — a failed phase's iterates
@@ -189,9 +189,9 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         ws3 = cones.sprod(ds, dz, dims)
         ds_sc = nt.scale2(lmbda, ds, dims)
         dz_sc = nt.scale2(lmbda, dz, dims)
-        ts = cones.max_step(ds_sc, dims)
-        tz = cones.max_step(dz_sc, dims)
-        t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+        # stacked: one eigh instance for both directions
+        tsz = cones.max_step(jnp.stack([ds_sc, dz_sc]), dims)
+        t = jnp.maximum(jnp.maximum(tsz[0], tsz[1]), 0.0)
         step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, 1.0 / t))
         sigma = jnp.minimum(
             1.0, jnp.maximum(0.0, 1.0 - step + dsdz / gap * step ** 2)
@@ -204,9 +204,11 @@ def _coneqp_solve(dims: ConeDims, *, factor_W, Pf, Gf, GTf, Af, ATf,
         (dx, dy, dz, ds), rr2 = f4(-rx, -ry, -rz, ds_in)
         ds_sc = nt.scale2(lmbda, ds, dims)
         dz_sc = nt.scale2(lmbda, dz, dims)
-        ts, sigs, ds_q = cones.max_step_eig(ds_sc, dims)
-        tz, sigz, dz_q = cones.max_step_eig(dz_sc, dims)
-        t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+        tsz, sig2, dq2 = cones.max_step_eig(
+            jnp.stack([ds_sc, dz_sc]), dims)
+        sigs, sigz = sig2[0], sig2[1]
+        ds_q, dz_q = dq2[0], dq2[1]
+        t = jnp.maximum(jnp.maximum(tsz[0], tsz[1]), 0.0)
         step = jnp.where(t == 0.0, 1.0, jnp.minimum(1.0, STEP / t))
 
         # ---- update (coneprog.py:2459-2547) --------------------------

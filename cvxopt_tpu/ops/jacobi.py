@@ -174,7 +174,7 @@ def _seed_eigh(A):
     return w0.astype(A.dtype), V
 
 
-def eigh_accurate(A, sweeps: int = 3, force: bool = False):
+def eigh_accurate(A, sweeps: int = 5, force: bool = False):
     """jnp.linalg.eigh with an f32 seed + Jacobi polish on accelerator
     backends (see module docstring).  Same (w ascending, V) contract."""
     if not (force or _needs_polish(A.dtype)):
