@@ -95,9 +95,21 @@ def _pad_even(A, me):
 
 def _rotation(app, aqq, apq, dtype):
     """Stable Jacobi rotation (Golub & Van Loan 8.4): returns (c, s)
-    zeroing the (p, q) coupling; identity where apq == 0."""
-    tau = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
-    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    zeroing the (p, q) coupling; identity where apq == 0.
+
+    Range-safe form: the textbook tau = (aqq-app)/(2 apq) overflows
+    for tiny couplings — harmless in true f64, but the TPU's EMULATED
+    f64 inherits the f32 exponent range, so tau^2 -> inf -> NaN on
+    the near-diagonal matrices the polish path sees (measured: all-NaN
+    eigh on a T with 1e-6 off-diagonal mass).  The algebraically
+    equivalent t = 2 apq sign(theta) / (|theta| + sqrt(theta^2 +
+    4 apq^2)) keeps every intermediate at the scale of the matrix
+    entries."""
+    theta = aqq - app
+    denom = jnp.abs(theta) + jnp.sqrt(theta * theta
+                                      + 4.0 * apq * apq)
+    sgn = jnp.where(theta >= 0.0, 1.0, -1.0).astype(dtype)
+    t = 2.0 * apq * sgn / jnp.where(denom == 0.0, 1.0, denom)
     t = jnp.where(apq == 0.0, jnp.zeros((), dtype), t)
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     return c, t * c
