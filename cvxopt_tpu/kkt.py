@@ -347,20 +347,46 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
         # which must select the f64 branch, so test the negation
         need64 = ~(relres <= 1e-6)
 
-        def chol64():
+        # f64 branch: the platform's emulated-f64 cholesky is only
+        # f32-GRADE and goes NaN at the kappa(S) ~ 1/mu^2 ~ 1e12 the
+        # final IPM iterations reach (measured: mcsdp m=200 exits
+        # 'singular' at iteration 11 on TPU while converging on CPU).
+        # Factor through the accurate eigh instead (f32 seed + Jacobi
+        # polish in the f64-ACCURATE op set, ops/jacobi.py): the
+        # eigenvalue error ~1e-14*||S|| gives a solve contraction of
+        # ~||S||eps/w_min per round, so a few internal refinement
+        # rounds (f64 matmuls) reach f64-class residuals even at
+        # kappa ~ 1e12.  Non-PD S surfaces as w <= 0 -> NaN inverse,
+        # preserving the solvers' NaN singularity contract.
+        from cvxopt_tpu.ops.jacobi import eigh_accurate
+
+        def eig64():
             S = Gs.T @ Gs
             if H is not None:
                 S = S + H
-            return jnp.linalg.cholesky(S)
+            w, V = eigh_accurate(S)
+            winv = jnp.where(w > 0, 1.0 / jnp.where(w > 0, w, 1.0),
+                             jnp.nan)
+            return winv, V
 
-        Ls64 = jax.lax.cond(
-            need64, chol64,
-            lambda: jnp.zeros((n, n), io_dtype))
+        winv64, V64 = jax.lax.cond(
+            need64, eig64,
+            lambda: (jnp.zeros((n,), io_dtype),
+                     jnp.zeros((n, n), io_dtype)))
 
         def Sinv(v):
+            def app64(u):
+                t = V64.T @ u
+                t = winv64 * t if u.ndim == 1 else winv64[:, None] * t
+                return V64 @ t
+
             def s64(u):
-                w = jsl.solve_triangular(Ls64, u, lower=True)
-                return jsl.solve_triangular(Ls64.T, w, lower=False)
+                x = app64(u)
+                # internal refinement: residuals in accurate f64
+                # matmuls; 3 rounds at ~1e-2 contraction reach ~1e-8
+                for _ in range(3):
+                    x = x + app64(u - S64mv(x))
+                return x
 
             return jax.lax.cond(need64, s64, solve32, v)
 
