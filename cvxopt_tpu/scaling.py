@@ -287,7 +287,13 @@ def compute_scaling(s: Array, z: Array, dims: ConeDims):
         w, V = gram_eigh_accurate(M)
         # eigh is ascending; NT lambda order is a free choice — flip to
         # descending to match the reference's SVD ordering.
-        lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
+        # floor at the smallest normal instead of 0: a drifted
+        # numerically rank-deficient M yields w <= 0, and an
+        # exactly-zero lambda would turn the 1/lam factors into
+        # inf -> NaN (the reference's gesvd returns tiny positive
+        # singular values and divides regardless; the solvers'
+        # stall detectors handle the resulting non-progress)
+        lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 1e-300))
         V = V[..., ::-1]
         LsV = Ls @ V
         r = LsV / jnp.sqrt(lam)[..., None, :]
@@ -374,7 +380,13 @@ def update_scaling(W: Dict, lmbda: Array, s: Array, z: Array,
         #   rti := rti Lz U diag(lam)^{-1/2}
         M = jnp.swapaxes(Lz, -1, -2) @ Ls
         w, V = gram_eigh_accurate(M)      # see compute_scaling note
-        lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
+        # floor at the smallest normal instead of 0: a drifted
+        # numerically rank-deficient M yields w <= 0, and an
+        # exactly-zero lambda would turn the 1/lam factors into
+        # inf -> NaN (the reference's gesvd returns tiny positive
+        # singular values and divides regardless; the solvers'
+        # stall detectors handle the resulting non-progress)
+        lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 1e-300))
         V = V[..., ::-1]
         U = (M @ V) / lam[..., None, :]
         inv_sqrt = 1.0 / jnp.sqrt(lam)
