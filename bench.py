@@ -485,13 +485,20 @@ def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
     import jax
     import jax.numpy as jnp
     from cvxopt_tpu.cones import ConeDims
-    from cvxopt_tpu.conelp import make_conelp, make_conelp_cascade
+    from cvxopt_tpu.conelp import make_conelp_refresh, \
+        make_conelp_cascade
 
     n = m
     dims = ConeDims(s=(m,))
-    core = make_conelp(dims, kktsolver="chol2", maxiters=maxiters,
-                       abstol=1e-7, reltol=1e-6, feastol=1e-7,
-                       refinement=1, factor_dtype="adaptive")
+    # periodic scaling refresh: on the emulated-f64 TPU backend the
+    # single-trajectory NT scaling stalls at dres ~ 2e-7 near mu~1e-9
+    # (conelp.make_conelp_refresh docstring, measured r04); the
+    # refreshed solve reaches the contract in a few post-restart steps
+    core = make_conelp_refresh(dims, kktsolver="chol2",
+                               maxiters=maxiters, abstol=1e-7,
+                               reltol=1e-6, feastol=1e-7,
+                               refinement=1, factor_dtype="adaptive",
+                               segment=12, rounds=3)
 
     w, G = _mcsdp_data(m)
     c = jnp.ones((n,), jnp.float64)

@@ -597,7 +597,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
     z_out = final["z"] * ys
     ts = cones.max_step(s_out, dims)
     tz = cones.max_step(z_out, dims)
-    return dict(
+    out = dict(
         x=x_out, y=y_out, s=s_out, z=z_out,
         status=status, iterations=final["iters"],
         gap=final["gap"], relgap=final["relgap"],
@@ -606,6 +606,14 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
         pinfres=final["pinfres"], dinfres=final["dinfres"],
         primal_slack=-ts, dual_slack=-tz,
     )
+    import os
+    if os.environ.get("CVXOPT_TPU_DEBUG_STATE") == "1":
+        # raw carried loop state for platform-numerics autopsies (the
+        # axon backend supports neither debug.print nor callbacks)
+        out["_state"] = {k: final[k] for k in
+                         ("x", "y", "s", "z", "tau", "kappa", "W",
+                          "lmbda", "dg", "lg", "gap")}
+    return out
 
 
 def _resolve_opts(dims, kktsolver, refinement):
@@ -1175,3 +1183,58 @@ def finalize_result(raw, dims: ConeDims):
         "iterations": int(raw["iterations"]),
     }
     return res
+
+
+def make_conelp_refresh(dims: ConeDims, kktsolver: str = "default",
+                        maxiters: int = 100, abstol: float = 1e-7,
+                        reltol: float = 1e-6, feastol: float = 1e-7,
+                        refinement: Optional[int] = None,
+                        kktreg: Optional[float] = None,
+                        factor_dtype: Optional[str] = None,
+                        segment: int = 12, rounds: int = 3):
+    """conelp with PERIODIC SCALING REFRESH — the TPU 's'-cone
+    production path for single large cone programs.
+
+    Rationale (measured, r04): near convergence (mu ~ 1e-9) the HSD
+    system's conditioning amplifies platform-level rounding
+    differences; on the emulated-f64 TPU backend the carried
+    NT-scaling trajectory can stall at dres ~ 2e-7 (the same program
+    converges on CPU), even though every component solve is accurate
+    to ~1e-13 (autopsy series, /tmp-level probes r04).  Restarting
+    from the current iterate RECOMPUTES the scaling fresh and
+    re-centers via the Mehrotra shift, after which the iteration
+    reaches the 1e-7 contract in a few steps (measured: dres 2.5e-8
+    in 3 post-refresh iterations on the mcsdp m=200 state where the
+    single-trajectory solve stalls).
+
+    Host-driven: runs the cold core for `segment` iterations; while
+    not optimal and `rounds` remain, continues through the
+    warm-started core (make_conelp_ws) from the current iterates.
+    Each phase is one jitted program; intermediate iterates stay on
+    device.  Returns the reference-format result dict of arrays plus
+    cumulative `iterations`."""
+    cold = make_conelp(dims, kktsolver=kktsolver, maxiters=segment,
+                       abstol=abstol, reltol=reltol, feastol=feastol,
+                       refinement=refinement, kktreg=kktreg,
+                       factor_dtype=factor_dtype)
+    ws = make_conelp_ws(dims, kktsolver=kktsolver, maxiters=segment,
+                        abstol=abstol, reltol=reltol, feastol=feastol,
+                        refinement=refinement, kktreg=kktreg,
+                        factor_dtype=factor_dtype)
+
+    def solve(c, G, h, A, b):
+        out = cold(c, G, h, A, b)
+        total = int(out["iterations"])
+        r = 0
+        while (int(out["status"]) != STATUS_OPTIMAL and r < rounds
+               and total < maxiters):
+            nxt = ws(c, G, h, A, b, out["x"], out["y"], out["z"])
+            total += int(nxt["iterations"])
+            r += 1
+            out = nxt
+        out = dict(out)
+        out["iterations"] = total
+        out["refresh_rounds"] = r
+        return out
+
+    return solve
