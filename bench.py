@@ -1021,7 +1021,7 @@ def main():
     # ---- n=10240 KKT component breakdown (BASELINE primary) --------
     if os.environ.get("BENCH_LARGE", "1") != "0":
         RESULT["kkt_factor_solve_ms_n10240"] = run_stage(
-            "large_kkt", 400, {"n": 10240 if on_tpu else 2048})
+            "large_kkt", 900, {"n": 10240 if on_tpu else 2048})
         emit()
 
     # ---- SDP (mcsdp m=200 + batched 16x m=50) ----------------------

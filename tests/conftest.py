@@ -26,8 +26,23 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: first test run pays XLA compiles,
 # subsequent runs reload compiled executables from disk.
+#
+# MACHINE-KEYED directory for the CPU backend: jax's CPU cache key
+# does not include the host's CPU feature set, and XLA:CPU AOT
+# executables compiled on a different host SEGFAULT on load
+# (measured r04: cross-machine .jax_cache entries crashed the test
+# suite inside compilation_cache.get_executable_and_time, after many
+# "machine features ... could lead to execution errors such as
+# SIGILL" warnings).  Keying by the platform description isolates
+# each machine's CPU executables.
+import hashlib
+import platform as _platform
+
+_feat = hashlib.sha1(
+    (_platform.processor() + _platform.machine()
+     + _platform.node()).encode()).hexdigest()[:12]
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "..", ".jax_cache")
+                          "..", f".jax_cache_cpu_{_feat}")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
