@@ -24,25 +24,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: first test run pays XLA compiles,
-# subsequent runs reload compiled executables from disk.
-#
-# MACHINE-KEYED directory for the CPU backend: jax's CPU cache key
-# does not include the host's CPU feature set, and XLA:CPU AOT
-# executables compiled on a different host SEGFAULT on load
-# (measured r04: cross-machine .jax_cache entries crashed the test
-# suite inside compilation_cache.get_executable_and_time, after many
-# "machine features ... could lead to execution errors such as
-# SIGILL" warnings).  Keying by the platform description isolates
-# each machine's CPU executables.
-import hashlib
-import platform as _platform
-
-_feat = hashlib.sha1(
-    (_platform.processor() + _platform.machine()
-     + _platform.node()).encode()).hexdigest()[:12]
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "..", f".jax_cache_cpu_{_feat}")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache for the CPU test suite: this
+# environment's XLA:CPU AOT executable serialization is unsafe — the
+# loader warns "machine features ... could lead to execution errors
+# such as SIGILL" and deserializing entries (even same-machine ones)
+# intermittently SEGFAULTS inside
+# compilation_cache.get_executable_and_time (measured r04, twice,
+# at different cache directories).  A cold suite run costs ~7 min of
+# CPU compiles — correctness over convenience.  The TPU benchmark
+# path keeps its cache (bench.py): TPU executables are compiled and
+# serialized server-side and have never exhibited the crash.
