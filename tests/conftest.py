@@ -34,3 +34,33 @@ jax.config.update("jax_enable_x64", True)
 # CPU compiles — correctness over convenience.  The TPU benchmark
 # path keeps its cache (bench.py): TPU executables are compiled and
 # serialized server-side and have never exhibited the crash.
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test MODULES.
+
+    The full suite (~300 tests) segfaults inside XLA:CPU's
+    backend_compile_and_load once enough JITted executables are
+    resident (measured r04: deterministic position in the suite,
+    independent of the specific test, of the persistent cache, and of
+    free RAM — the classic JIT code-span/relocation failure mode).
+    Clearing jax's caches and the solver-factory lru_caches at module
+    boundaries bounds resident compiled code; modules pay a few
+    recompiles, the one-command `pytest tests/` stays green."""
+    yield
+    import jax
+    from cvxopt_tpu import conelp as _conelp, coneqp as _coneqp
+    from cvxopt_tpu import simplex as _simplex
+    for fn in (_conelp.make_conelp, _conelp.make_conelp_cascade,
+               _conelp.make_conelp_ws, _conelp.make_conelp_ws_detect,
+               _coneqp.make_coneqp, _coneqp.make_coneqp_cascade,
+               _simplex.make_simplex):
+        try:
+            fn.cache_clear()
+        except AttributeError:
+            pass
+    jax.clear_caches()
