@@ -1226,7 +1226,13 @@ def make_conelp_refresh(dims: ConeDims, kktsolver: str = "default",
         out = cold(c, G, h, A, b)
         total = int(out["iterations"])
         r = 0
-        while (int(out["status"]) != STATUS_OPTIMAL and r < rounds
+        # only refresh on inconclusive exits: OPTIMAL and the two
+        # infeasibility certificates are terminal — re-entering the
+        # warm core would burn iterations and overwrite the
+        # certificate-bearing result (ADVICE r04).
+        conclusive = (STATUS_OPTIMAL, STATUS_PRIMAL_INFEASIBLE,
+                      STATUS_DUAL_INFEASIBLE)
+        while (int(out["status"]) not in conclusive and r < rounds
                and total < maxiters):
             nxt = ws(c, G, h, A, b, out["x"], out["y"], out["z"])
             total += int(nxt["iterations"])

@@ -133,18 +133,25 @@ def _msk_status(solsta):
     return "unknown"
 
 
-def _lp_mosek(c, G, h, A, b, options):
-    """solver='mosek' branch of lp (coneprog.py:2877-3007): run the
-    MOSEK bridge, map solsta, recompute all result fields locally."""
+def _msk_options(options):
+    """Resolve MOSEK options: per-call kwarg -> solvers.options['mosek']
+    -> msk.options module default (same chain for every front-end)."""
     from cvxopt_tpu import msk as msk_mod
     from cvxopt_tpu import solvers as _solvers
 
     if options is not None and "mosek" in options:
-        opts = dict(options["mosek"])
-    elif "mosek" in _solvers.options:
-        opts = dict(_solvers.options["mosek"])
-    else:
-        opts = dict(msk_mod.options)
+        return dict(options["mosek"])
+    if "mosek" in _solvers.options:
+        return dict(_solvers.options["mosek"])
+    return dict(msk_mod.options)
+
+
+def _lp_mosek(c, G, h, A, b, options):
+    """solver='mosek' branch of lp (coneprog.py:2877-3007): run the
+    MOSEK bridge, map solsta, recompute all result fields locally."""
+    from cvxopt_tpu import msk as msk_mod
+
+    opts = _msk_options(options)
     c = np.asarray(c, dtype=float).reshape(-1)
     n = c.shape[0]
     G = np.asarray(G, dtype=float).reshape(-1, n)
@@ -199,8 +206,7 @@ def qp(P, q, G=None, h=None, A=None, b=None, solver=None, options=None,
         solsta, x, z, y = msk_mod.qp(
             np.asarray(P, dtype=float), q1, Gm, hm,
             Am if has_A else None, bm if has_A else None,
-            options=(options or {}).get("mosek",
-                                        msk_mod.options))
+            options=_msk_options(options))
         status = _msk_status(solsta)
         out = _vertex_result(q1, Gm, hm, Am, bm, status,
                              x if status == "optimal" else None,
@@ -208,11 +214,22 @@ def qp(P, q, G=None, h=None, A=None, b=None, solver=None, options=None,
                              (y if y is not None else np.zeros((0,)))
                              if status == "optimal" else None)
         if status == "optimal":
-            # objective fields use the quadratic objective
+            # objective fields use the quadratic objective; recompute
+            # 'relative gap' from the corrected pcost/dcost by the
+            # reference's rule (coneprog.py:2255-2260) so it is
+            # consistent with the reported objectives.
             Pm = np.asarray(P, dtype=float).reshape(n, n)
             pcost = 0.5 * float(x @ Pm @ x) + float(q1 @ x)
+            gap = out["gap"] or 0.0
+            dcost = pcost - gap
             out["primal objective"] = pcost
-            out["dual objective"] = pcost - (out["gap"] or 0.0)
+            out["dual objective"] = dcost
+            if pcost < 0.0:
+                out["relative gap"] = gap / -pcost
+            elif dcost > 0.0:
+                out["relative gap"] = gap / dcost
+            else:
+                out["relative gap"] = None
         return out
     _check_solver(solver)
     return coneqp(P, q, G, h, dims=None, A=A, b=b, initvals=initvals,
@@ -256,7 +273,7 @@ def socp(c, Gl=None, hl=None, Gq=None, hq=None, A=None, b=None,
         from cvxopt_tpu import msk as msk_mod
         solsta, x, zl_, zq_ = msk_mod.socp(
             c, Gl, hl, Gq, hq,
-            options=(options or {}).get("mosek", msk_mod.options))
+            options=_msk_options(options))
         status = _msk_status(solsta)
         z = (np.concatenate([np.asarray(zl_)] +
                             [np.asarray(zk) for zk in zq_])

@@ -33,7 +33,8 @@ from cvxopt_tpu.ops.banded import (          # noqa: F401
 __all__ = [
     "potrf", "potrs", "posv", "potri", "getrf", "getrs", "gesv",
     "getri", "sytrf", "sytrs", "sysv", "trtrs", "trtri", "geqrf",
-    "orgqr", "ormqr", "gels", "gelqf", "geqp3", "larfg", "larfx",
+    "orgqr", "ormqr", "sytri", "hetri", "ungqr", "unmqr", "ormlq",
+    "unmlq", "gels", "gelqf", "geqp3", "larfg", "larfx",
     "syev", "syevd",
     "syevr", "syevx", "heev", "heevd", "sygv", "hegv", "gesvd",
     "gesdd", "gees", "gges", "lacpy",
@@ -120,6 +121,16 @@ def sysv(A, B, uplo="L"):
 hetrf, hetrs, hesv = sytrf, sytrs, sysv
 
 
+def sytri(f, uplo="L"):
+    """Inverse from a sytrf handle (reference lapack.c:7341 sytri).
+    The handle is the LU of the symmetrized matrix, so the inverse is
+    getri of it; the result is symmetric up to roundoff."""
+    return getri(f)
+
+
+hetri = sytri
+
+
 # ---- triangular ------------------------------------------------------
 
 def trtrs(A, B, uplo="L", trans="N", diag="N"):
@@ -157,6 +168,25 @@ def ormqr(qr_, C, trans="N", side="L"):
     if side == "L":
         return (Q if trans == "N" else Qt) @ C
     return C @ (Q if trans == "N" else Qt)
+
+
+# complex QR multipliers: XLA's qr is dtype-generic, so the unitary
+# ('un*') entry points are the same routines as the orthogonal ones
+# (reference keeps separate C paths, lapack.c:7341-7400)
+ungqr, unmqr = orgqr, ormqr
+
+
+def ormlq(lq_, C, trans="N", side="L"):
+    """Multiply by the Q of a gelqf handle (L, Q) — reference ormlq
+    (lapack.c:7341-7400).  Q here is stored explicitly (k x n)."""
+    _, Q = lq_
+    Qt = jnp.conjugate(jnp.swapaxes(Q, -1, -2))
+    if side == "L":
+        return (Q if trans == "N" else Qt) @ C
+    return C @ (Q if trans == "N" else Qt)
+
+
+unmlq = ormlq
 
 
 def gels(A, B):

@@ -37,6 +37,19 @@ from cvxopt_tpu.cones import (
 )
 
 
+def _floor_eigs(w: Array) -> Array:
+    """Floor Gram eigenvalues away from <=0 before 1/sqrt.
+
+    The floor must survive the emulated-f64 TPU backend, which
+    inherits the f32 exponent range (ops/jacobi.py) — a denormal-f64
+    constant like 1e-300 flushes to exactly 0 there.  Use a
+    scale-relative floor (eps^2 * max eigenvalue per block) with an
+    absolute ~1e-30 backstop, both representable in f32 range."""
+    scale = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    floor = jnp.maximum(1e-28 * scale, 1e-30)
+    return jnp.maximum(w, floor)
+
+
 def identity_scaling(dims: ConeDims, dtype=None) -> Dict:
     """W = identity (cold-start scaling, coneprog.py:670-679)."""
     if dtype is None:
@@ -287,13 +300,16 @@ def compute_scaling(s: Array, z: Array, dims: ConeDims):
         w, V = gram_eigh_accurate(M)
         # eigh is ascending; NT lambda order is a free choice — flip to
         # descending to match the reference's SVD ordering.
-        # floor at the smallest normal instead of 0: a drifted
-        # numerically rank-deficient M yields w <= 0, and an
-        # exactly-zero lambda would turn the 1/lam factors into
-        # inf -> NaN (the reference's gesvd returns tiny positive
-        # singular values and divides regardless; the solvers'
-        # stall detectors handle the resulting non-progress)
-        lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 1e-300))
+        # floor the eigenvalues away from 0: a drifted numerically
+        # rank-deficient M yields w <= 0, and an exactly-zero lambda
+        # would turn the 1/lam factors into inf -> NaN (the reference's
+        # gesvd returns tiny positive singular values and divides
+        # regardless; the stall detectors handle the non-progress).
+        # The floor must be REPRESENTABLE on the emulated-f64 TPU
+        # backend (f32 exponent range — 1e-300 underflows to exactly 0
+        # there), so use a scale-relative floor per block with a ~1e-30
+        # absolute backstop.
+        lam = jnp.sqrt(_floor_eigs(w[..., ::-1]))
         V = V[..., ::-1]
         LsV = Ls @ V
         r = LsV / jnp.sqrt(lam)[..., None, :]
@@ -380,13 +396,9 @@ def update_scaling(W: Dict, lmbda: Array, s: Array, z: Array,
         #   rti := rti Lz U diag(lam)^{-1/2}
         M = jnp.swapaxes(Lz, -1, -2) @ Ls
         w, V = gram_eigh_accurate(M)      # see compute_scaling note
-        # floor at the smallest normal instead of 0: a drifted
-        # numerically rank-deficient M yields w <= 0, and an
-        # exactly-zero lambda would turn the 1/lam factors into
-        # inf -> NaN (the reference's gesvd returns tiny positive
-        # singular values and divides regardless; the solvers'
-        # stall detectors handle the resulting non-progress)
-        lam = jnp.sqrt(jnp.maximum(w[..., ::-1], 1e-300))
+        # scale-relative floor, representable under emulated f64 —
+        # see the compute_scaling note above.
+        lam = jnp.sqrt(_floor_eigs(w[..., ::-1]))
         V = V[..., ::-1]
         U = (M @ V) / lam[..., None, :]
         inv_sqrt = 1.0 / jnp.sqrt(lam)

@@ -20,9 +20,11 @@ from cvxopt_tpu.conelp import conelp, make_conelp, \
     make_conelp_cascade, make_conelp_ws
 from cvxopt_tpu.coneqp import coneqp, make_coneqp, make_coneqp_cascade
 from cvxopt_tpu.frontends import lp, qp, socp, sdp
+from cvxopt_tpu.cvxprog import cp, cpl, gp
 
 options = {}
 
-__all__ = ["conelp", "coneqp", "lp", "qp", "socp", "sdp", "options",
+__all__ = ["conelp", "coneqp", "cp", "cpl", "gp",
+           "lp", "qp", "socp", "sdp", "options",
            "make_conelp", "make_coneqp", "make_coneqp_cascade",
            "make_conelp_cascade", "make_conelp_ws"]

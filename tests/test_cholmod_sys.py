@@ -158,3 +158,17 @@ def test_namespace_modules():
     np.testing.assert_allclose(B.T @ xt, np.ones(n), atol=1e-10)
     p = amd.order(Asp)
     assert sorted(np.asarray(p).tolist()) == list(range(n))
+
+
+def test_spsolve_dense_return_contract():
+    """The documented divergence from the reference: cholmod.spsolve
+    returns a DENSE solution for sparse B (the reference returns
+    sparse, /root/reference/src/C/cholmod.c:583).  Assert the contract
+    explicitly so the difference is a tested decision, not drift."""
+    A = _banded_spd(n=24, kd=2, seed=5)
+    F = cholmod.numeric(A, cholmod.symbolic(A))
+    B = sp.csr_matrix(np.eye(24)[:, :3])
+    X = cholmod.spsolve(F, B)
+    X = np.asarray(X)
+    assert not sp.issparse(X)             # dense by design
+    np.testing.assert_allclose(A @ X, B.toarray(), atol=1e-8)

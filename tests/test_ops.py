@@ -405,3 +405,33 @@ def test_fft_all_dct_dst_types_vs_scipy():
     np.testing.assert_allclose(
         np.asarray(fft.dct(X2, type=3, axis=1)),
         sfft.dct(X2, type=3, axis=1), atol=1e-10)
+
+
+def test_lapack_long_tail_sytri_unmqr_ormlq():
+    # sytri: symmetric-indefinite inverse from the sytrf handle
+    # (reference lapack.c:7341)
+    S = np.asarray(randpsd(5)) - 10 * np.eye(5)     # indefinite
+    f = lapack.sytrf(jnp.tril(jnp.asarray(S)))
+    Si = np.asarray(lapack.sytri(f))
+    np.testing.assert_allclose(S @ Si, np.eye(5), atol=1e-9)
+    # complex QR multipliers unmqr/ungqr (== ormqr/orgqr, dtype-generic)
+    rng_ = np.random.default_rng(3)
+    Az = jnp.asarray(rng_.standard_normal((6, 4)) +
+                     1j * rng_.standard_normal((6, 4)))
+    qr_ = lapack.geqrf(Az)
+    Q = lapack.ungqr(qr_)
+    np.testing.assert_allclose(np.asarray(Q.conj().T @ Q), np.eye(4),
+                               atol=1e-12)
+    C = jnp.asarray(rng_.standard_normal((6, 3)) +
+                    1j * rng_.standard_normal((6, 3)))
+    np.testing.assert_allclose(np.asarray(lapack.unmqr(qr_, C, trans="C")),
+                               np.asarray(Q.conj().T @ C), atol=1e-12)
+    # ormlq: multiply by the LQ factor's Q
+    Ar = jnp.asarray(rng_.standard_normal((3, 5)))
+    L, Qlq = lapack.gelqf(Ar)
+    np.testing.assert_allclose(np.asarray(L @ Qlq), np.asarray(Ar),
+                               atol=1e-12)
+    Cr = jnp.asarray(rng_.standard_normal((2, 5)))
+    np.testing.assert_allclose(
+        np.asarray(lapack.ormlq((L, Qlq), Cr, trans="T", side="R")),
+        np.asarray(Cr) @ np.asarray(Qlq).T, atol=1e-12)

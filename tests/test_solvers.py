@@ -529,3 +529,14 @@ def test_cholqr_equalities_f32():
     assert int(out["status"]) == 0
     np.testing.assert_allclose(np.asarray(out["x"]),
                                np.asarray(ref["x"]), atol=1e-6)
+
+
+def test_solvers_namespace_exports_cp_cpl_gp():
+    """Reference public API parity: cvxopt.solvers exports cp/cpl/gp
+    (/root/reference/src/python/solvers.py:35-41)."""
+    from cvxopt_tpu.cvxprog import cp as _cp, cpl as _cpl, gp as _gp
+    assert solvers.cp is _cp
+    assert solvers.cpl is _cpl
+    assert solvers.gp is _gp
+    for name in ("cp", "cpl", "gp"):
+        assert name in solvers.__all__
