@@ -417,7 +417,8 @@ def bench_socp(nb=1024, n=64, nq=100, mq=4, maxiters=50, chunks=2,
         out = solve(P, q, G, h, A0, b0)
         return (out["status"], out["iterations"], jnp.max(out["gap"]),
                 jnp.max(out["pres"]), jnp.max(out["dres"]),
-                jnp.sum(out["rescue_iterations"]))
+                jnp.sum(out["rescue_iterations"]),
+                jnp.max(out["relgap"]))
 
     t0 = time.time()
     o = run(0)
@@ -438,7 +439,8 @@ def bench_socp(nb=1024, n=64, nq=100, mq=4, maxiters=50, chunks=2,
                       f"blocks at 1e-7 ({chunks} chunks)",
                scenarios=nb * chunks,
                max_gap=float(o[2]), max_pres=float(o[3]),
-               max_dres=float(o[4]), rescue_iters=rescue,
+               max_dres=float(o[4]), max_relgap=float(o[6]),
+               rescue_iters=rescue,
                compile_s=round(compile_s, 1))
     if baseline_iters_per_s:
         res["baseline_iters_per_s"] = round(baseline_iters_per_s, 1)
@@ -518,8 +520,9 @@ def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
     iters = int(out["iterations"])
     res = dict(status=int(out["status"]), iterations=iters,
                iter_ms=round(dt / max(iters, 1) * 1e3, 1),
-               gap=float(out["gap"]), pres=float(out["pres"]),
-               dres=float(out["dres"]),
+               gap=float(out["gap"]), relgap=float(out["relgap"]),
+               pres=float(out["pres"]), dres=float(out["dres"]),
+               refresh_rounds=int(out.get("refresh_rounds", 0)),
                config=f"mcsdp m={m} at 1e-7/1e-6",
                compile_s=round(compile_s, 1))
     if baseline_iters_per_s:
@@ -571,7 +574,7 @@ def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
         "kkt_factor_solve_f64": round(t_of(mk_fs(fac64)), 1)}
 
     # ---- batched small SDPs (f32 phase A + warm f64 phase B) ---------
-    mb, nbatch = 50, 16
+    mb, nbatch = 50, 128
     dimsb = ConeDims(s=(mb,))
     solveb = make_conelp_cascade(dimsb, maxiters=maxiters,
                                  abstol=1e-7, reltol=1e-6,
@@ -597,7 +600,8 @@ def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
         hb = genb(seed)
         out = solveb(cbj, Gbj, hb, Abj, bbj)
         return (out["status"], out["iterations"],
-                jnp.max(out["gap"]), jnp.max(out["pres"]))
+                jnp.max(out["gap"]), jnp.max(out["pres"]),
+                jnp.max(out["relgap"]), jnp.max(out["dres"]))
 
     t0 = time.time()
     o = runb(0)
@@ -613,6 +617,9 @@ def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
         solved=f"{solved}/{nbatch}",
         config=f"{nbatch}x mcsdp m={mb} at 1e-7/1e-6",
         max_gap=float(o[2]), max_pres=float(o[3]),
+        # every "solved" claim must carry the relgap that the
+        # gap<=abstol OR relgap<=reltol exit rests on (VERDICT r04 #5)
+        max_relgap=float(o[4]), max_dres=float(o[5]),
         compile_s=round(cb_s, 1))
     return res
 
@@ -788,7 +795,8 @@ def bench_markowitz(nb=64, n=500, maxiters=50):
         P, q = gen(seed)
         out = solve(P, q, G1, h1, A1, b1)
         return (out["status"], out["iterations"], jnp.max(out["gap"]),
-                jnp.max(out["pres"]), jnp.max(out["dres"]))
+                jnp.max(out["pres"]), jnp.max(out["dres"]),
+                jnp.max(out["relgap"]))
 
     t0 = time.time()
     o = run(0)
@@ -806,7 +814,8 @@ def bench_markowitz(nb=64, n=500, maxiters=50):
                 solved=f"{solved}/{nb * reps}",
                 config=f"{nb}x n={n} Markowitz portfolio QPs",
                 max_gap=float(o[2]), max_pres=float(o[3]),
-                max_dres=float(o[4]), compile_s=round(compile_s, 1))
+                max_dres=float(o[4]), max_relgap=float(o[5]),
+                compile_s=round(compile_s, 1))
 
 
 def bench_sparse(n=100_000):
@@ -843,9 +852,11 @@ def bench_sparse(n=100_000):
         sol = lp_sparse(c, G, np.asarray(h),
                         options={"maxiters": 30}, method="scan")
         dt = time.time() - t0
+    relg = sol.get("relative gap")
     res = dict(n=n, m=r, status=sol["status"],
                iterations=sol["iterations"],
                solve_s=round(dt, 1), gap=sol["gap"],
+               relgap=(None if relg is None else float(relg)),
                device="cpu (structured-scaling metric)")
     # The TPU block-panel attempt crashed the remote TPU worker on the
     # first BENCH_r03 run (a dead worker fails every later stage), so

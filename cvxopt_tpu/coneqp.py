@@ -491,7 +491,8 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
                         kktreg: Optional[float] = None,
                         correction: bool = True,
                         phase1_tol: float = 1e-4,
-                        shared_GhAb: bool = True):
+                        shared_GhAb: bool = True,
+                        instrument: bool = False):
     """Progressive-precision coneqp for TPU batches:
     solve(P, q, G, h, A, b) with a leading batch axis on P and q (and
     on G/h/A/b too unless ``shared_GhAb``), solving to the full
@@ -610,11 +611,26 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
                 "dual_slack")
 
     def solve(P, q, G, h, A, b):
+        # instrument=True adds host-visible per-phase wall times and
+        # iteration counts under raw["profile"].  The value fetch
+        # after each phase forces a real sync (block_until_ready does
+        # not sync the remote backend) — opt-in because it serializes
+        # the phase pipeline.
+        import time as _time
+        prof = {}
+        t0 = _time.time()
         raw_a = va(P, q, G, h, A, b)
+        if instrument:
+            prof["a_iters"] = int(np.asarray(raw_a["iterations"]).sum())
+            prof["a_s"] = round(_time.time() - t0, 3)
         iv = {k: raw_a[k].astype(jnp.asarray(P).dtype)
               for k in ("x", "y", "s", "z")}
         iv["_valid"] = raw_a["status"] == STATUS_OPTIMAL
+        t0 = _time.time()
         raw = dict(vb(P, q, G, h, A, b, iv))
+        if instrument:
+            prof["b_iters"] = int(np.asarray(raw["iterations"]).sum())
+            prof["b_s"] = round(_time.time() - t0, 3)
         raw["iterations"] = raw["iterations"] + raw_a["iterations"]
         raw["phase1_iterations"] = raw_a["iterations"]
 
@@ -626,6 +642,7 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
         status = np.asarray(raw["status"])
         (flagged,) = np.nonzero(status == STATUS_NEEDS_F64)
         raw["rescue_iterations"] = jnp.zeros_like(raw["iterations"])
+        t0 = _time.time()
         if flagged.size:
             nb = status.shape[0]
             # pad to the next power of two (bounded compile variants),
@@ -656,6 +673,12 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
             raw["rescue_iterations"] = jnp.asarray(resc)
             raw["iterations"] = raw["iterations"] + \
                 raw["rescue_iterations"]
+        if instrument:
+            prof["c_iters"] = int(np.asarray(
+                raw["rescue_iterations"]).sum())
+            prof["c_s"] = round(_time.time() - t0, 3)
+            prof["c_instances"] = int(flagged.size)
+            raw["profile"] = prof
         return raw
 
     return solve

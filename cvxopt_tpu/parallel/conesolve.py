@@ -19,8 +19,11 @@ The per-iteration math mirrors coneqp (coneprog.py:1440-2547) —
 see cvxopt_tpu.coneqp._coneqp_solve for the single-device twin; this
 module is the `shard_map` port of its iteration with reductions made
 explicit.  Supports 'l'/'q'/'s' blocks per shard (everything blockwise
-is local), no equality constraints (those are handled by the
-block-partitioned Schur machinery in parallel.schur).
+is local) and, with ``p > 0``, equality constraints A x = b (A, b
+replicated — equalities couple x globally, so after the S psum the
+saddle elimination uy = (A S^{-1} A')^{-1} (A S^{-1} r - by) is pure
+replicated-local work; the same elimination as coneqp's kkt_chol,
+coneprog.py:1980-2041).
 """
 
 from __future__ import annotations
@@ -50,29 +53,20 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
                         maxiters: int = 50, abstol: float = 1e-7,
                         reltol: float = 1e-6, feastol: float = 1e-7,
                         refinement: int = 1):
-    """Build the sharded solver: f(P, q, G, h) -> result dict.
+    """Build the sharded solver: f(P, q, G, h[, A, b]) -> result dict.
     G (m, n) and h (m,) are sharded on the cone axis (m = n_shards *
-    local_dims.cdim); P (n, n), q (n,) replicated."""
+    local_dims.cdim); P (n, n), q (n,) — and the optional equality
+    pair A (p, n), b (p,) — replicated."""
     ldims = local_dims
 
-    def factor(W, P):
-        Gs = None  # bound in solve closure
-
-        def fac(G_loc):
-            Gsl = nt.scale_rows(G_loc, W, ldims, trans="T",
-                                inverse="I")
-            S = P + coll.psum(Gsl.T @ Gsl, axis)
-            L = jnp.linalg.cholesky(S)
-            return L
-
-        return fac
-
-    def local_step(P, q, G_loc, h_loc):
+    def local_step(P, q, G_loc, h_loc, A, b):
         n = q.shape[0]
+        p = A.shape[0]
         dtype = q.dtype
         e = cones.cone_identity(ldims, dtype=dtype)
 
         resx0 = jnp.maximum(1.0, jnp.linalg.norm(q))
+        resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
         resz0 = jnp.maximum(
             1.0, jnp.sqrt(jnp.maximum(coll.psum(
                 cones.sdot(h_loc, h_loc, ldims), axis), 0.0)))
@@ -82,21 +76,36 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
                                 inverse="I")
             S = P + coll.psum(Gsl.T @ Gsl, axis)
             L = jnp.linalg.cholesky(S)
+            if p:
+                # replicated saddle elimination for A x = b: S^{-1}A'
+                # and the (p, p) Schur complement A S^{-1} A'
+                w1 = jsl.solve_triangular(L, A.T, lower=True)
+                SinvAt = jsl.solve_triangular(L.T, w1, lower=False)
+                Lp = jnp.linalg.cholesky(A @ SinvAt)
+            else:
+                SinvAt = Lp = None
 
-            def solve(bx, bz_loc):
+            def solve(bx, by, bz_loc):
                 zs = nt.scale_w2inv(bz_loc, W, ldims)
                 r = bx + coll.psum(mvt(G_loc, zs), axis)
                 w = jsl.solve_triangular(L, r, lower=True)
                 ux = jsl.solve_triangular(L.T, w, lower=False)
+                if p:
+                    rhs = mv(A, ux) - by
+                    t1 = jsl.solve_triangular(Lp, rhs, lower=True)
+                    uy = jsl.solve_triangular(Lp.T, t1, lower=False)
+                    ux = ux - SinvAt @ uy
+                else:
+                    uy = by
                 Wuz = nt.scale(mv(G_loc, ux) - bz_loc, W, ldims,
                                trans="T", inverse="I")
-                return ux, Wuz
+                return ux, uy, Wuz
 
             return solve
 
-        # ---- cold start (coneprog.py:2044-2149, p=0) -----------------
+        # ---- cold start (coneprog.py:2044-2149) ----------------------
         f0 = kkt_factor(nt.identity_scaling(ldims, dtype=dtype))
-        xc, zc = f0(-q, h_loc)
+        xc, yc, zc = f0(-q, b, h_loc)
         sc = -zc
         nrms = jnp.sqrt(jnp.maximum(coll.psum(
             cones.sdot(sc, sc, ldims), axis), 0.0))
@@ -108,36 +117,38 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
         tz0 = coll.pmax(cones.max_step(zc, ldims), axis)
         zc = jnp.where(tz0 >= -1e-8 * jnp.maximum(nrmz, 1.0),
                        zc + (1.0 + tz0) * e, zc)
-        x, s, z = xc, sc, zc
+        x, y, s, z = xc, yc, sc, zc
         W, lmbda = nt.compute_scaling(s, z, ldims)
         gap = coll.psdot(s, z, ldims, axis)
 
         cdim_diag_g = ldims.cdim_diag * mesh.shape[axis]
         e_lq = e[:ldims.lnl + ldims.qdim]
 
-        def iteration(x, s, z, W, lmbda, gap, rx, rz):
+        def iteration(x, y, s, z, W, lmbda, gap, rx, ry, rz):
             lmbdasq = cones.ssqr(lmbda, ldims)
             f3 = kkt_factor(W)
 
-            def f4_no_ir(bx, bz, bs):
+            def f4_no_ir(bx, by, bz, bs):
                 us = cones.sinv(bs, lmbda, ldims)
                 uz = bz - nt.scale(us, W, ldims, trans="T")
-                ux, uz2 = f3(bx, uz)
+                ux, uy, uz2 = f3(bx, by, uz)
                 us2 = us - uz2
-                return ux, uz2, us2
+                return ux, uy, uz2, us2
 
-            def resid4(ux, uz, us, vx, vz, vs):
+            def resid4(ux, uy, uz, us, vx, vy, vz, vs):
                 wz3 = nt.scale(uz, W, ldims, inverse="I")
-                vx = vx - mv(P, ux) - coll.psum(mvt(G_loc, wz3), axis)
+                vx = vx - mv(P, ux) - mvt(A, uy) \
+                    - coll.psum(mvt(G_loc, wz3), axis)
+                vy = vy - mv(A, ux)
                 vz = vz - mv(G_loc, ux) - nt.scale(us, W, ldims,
                                                    trans="T")
                 vs = vs - cones.sprod_diag(us + uz, lmbda, ldims)
-                return vx, vz, vs
+                return vx, vy, vz, vs
 
-            def f4(bx, bz, bs):
-                u = f4_no_ir(bx, bz, bs)
+            def f4(bx, by, bz, bs):
+                u = f4_no_ir(bx, by, bz, bs)
                 for _ in range(refinement):
-                    v = resid4(*u, bx, bz, bs)
+                    v = resid4(*u, bx, by, bz, bs)
                     du = f4_no_ir(*v)
                     u = tuple(a + d for a, d in zip(u, du))
                 return u
@@ -146,7 +157,7 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
             lmbdasq_full = cones.diag_embed(lmbdasq, ldims)
 
             # predictor
-            dx, dz, ds = f4(-rx, -rz, -lmbdasq_full)
+            dx, dy, dz, ds = f4(-rx, -ry, -rz, -lmbdasq_full)
             dsdz = coll.psdot(ds, dz, ldims, axis)
             ws3 = cones.sprod(ds, dz, ldims)
             ds_sc = nt.scale2(lmbda, ds, ldims)
@@ -160,7 +171,7 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
 
             # corrector
             ds_in = -lmbdasq_full + sigma * mu * e - ws3
-            dx, dz, ds = f4(-rx, -rz, ds_in)
+            dx, dy, dz, ds = f4(-rx, -ry, -rz, ds_in)
             ds_sc = nt.scale2(lmbda, ds, ldims)
             dz_sc = nt.scale2(lmbda, dz, ldims)
             ts, sigs, ds_q = cones.max_step_eig(ds_sc, ldims)
@@ -171,6 +182,7 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
                              jnp.minimum(1.0, STEP / t))
 
             x = x + step * dx
+            y = y + step * dy
             nlq = ldims.lnl + ldims.qdim
             ds2 = ds_q.at[:nlq].set(e_lq + step * ds_q[:nlq])
             dz2 = dz_q.at[:nlq].set(e_lq + step * dz_q[:nlq])
@@ -198,19 +210,23 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
             s2 = nt.scale(lam_full, W2, ldims, trans="T")
             z2 = nt.scale(lam_full, W2, ldims, inverse="I")
             gap2 = coll.psum(jnp.sum(lmbda2 * lmbda2), axis)
-            return x, s2, z2, W2, lmbda2, gap2
+            return x, y, s2, z2, W2, lmbda2, gap2
 
         def body(st):
-            x, s, z, W, lmbda, gap, it, status, out = st
-            # residuals (coneprog.py:2167-2234, p=0)
-            rx = mv(P, x) + q + coll.psum(mvt(G_loc, z), axis)
+            x, y, s, z, W, lmbda, gap, it, status, out = st
+            # residuals (coneprog.py:2167-2234)
+            rx = mv(P, x) + q + mvt(A, y) \
+                + coll.psum(mvt(G_loc, z), axis)
+            ry = mv(A, x) - b
             rz = s + mv(G_loc, x) - h_loc
             pcost = 0.5 * jnp.dot(x, mv(P, x)) + jnp.dot(q, x)
-            dcost = pcost + coll.psdot(z, rz, ldims, axis) - gap
+            dcost = pcost + jnp.dot(y, ry) \
+                + coll.psdot(z, rz, ldims, axis) - gap
             relgap = jnp.where(
                 pcost < 0.0, gap / -pcost,
                 jnp.where(dcost > 0.0, gap / dcost, jnp.inf))
-            pres = coll.psnrm2(rz, ldims, axis) / resz0
+            pres = jnp.maximum(coll.psnrm2(rz, ldims, axis) / resz0,
+                               jnp.linalg.norm(ry) / resy0)
             dres = jnp.linalg.norm(rx) / resx0
             done = (pres <= feastol) & (dres <= feastol) & \
                    ((gap <= abstol) | (relgap <= reltol))
@@ -221,36 +237,47 @@ def make_coneqp_sharded(local_dims: ConeDims, mesh, axis: str = "cone",
             out = dict(pcost=pcost, dcost=dcost, relgap=relgap,
                        pres=pres, dres=dres)
             running = status == STATUS_RUNNING
-            x2, s2, z2, W2, lmbda2, gap2 = iteration(
-                x, s, z, W, lmbda, gap, rx, rz)
+            x2, y2, s2, z2, W2, lmbda2, gap2 = iteration(
+                x, y, s, z, W, lmbda, gap, rx, ry, rz)
             sel = lambda a, b_: jnp.where(running, b_, a)
             x = sel(x, x2)
+            y = sel(y, y2)
             s = sel(s, s2)
             z = sel(z, z2)
             W = jax.tree_util.tree_map(sel, W, W2)
             lmbda = sel(lmbda, lmbda2)
             gap = sel(gap, gap2)
             it = it + jnp.where(running, 1, 0).astype(jnp.int32)
-            return x, s, z, W, lmbda, gap, it, status, out
+            return x, y, s, z, W, lmbda, gap, it, status, out
 
         def cond(st):
-            return st[7] == STATUS_RUNNING
+            return st[8] == STATUS_RUNNING
 
         out0 = dict(pcost=jnp.nan, dcost=jnp.nan, relgap=jnp.nan,
                     pres=jnp.nan, dres=jnp.nan)
         out0 = {k: jnp.asarray(v, dtype) for k, v in out0.items()}
-        st = (x, s, z, W, lmbda, gap, jnp.asarray(0, jnp.int32),
+        st = (x, y, s, z, W, lmbda, gap, jnp.asarray(0, jnp.int32),
               jnp.asarray(STATUS_RUNNING, jnp.int32), out0)
         st = lax.while_loop(cond, body, st)
-        x, s, z, _, _, gap, it, status, out = st
-        return dict(x=x, s=s, z=z, gap=gap, iterations=it,
+        x, y, s, z, _, _, gap, it, status, out = st
+        return dict(x=x, y=y, s=s, z=z, gap=gap, iterations=it,
                     status=status, **out)
 
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P_(None, None), P_(None), P_(axis, None), P_(axis)),
-        out_specs=dict(x=P_(None), s=P_(axis), z=P_(axis), gap=P_(),
-                       iterations=P_(), status=P_(), pcost=P_(),
-                       dcost=P_(), relgap=P_(), pres=P_(),
-                       dres=P_()))
-    return jax.jit(fn)
+        in_specs=(P_(None, None), P_(None), P_(axis, None), P_(axis),
+                  P_(None, None), P_(None)),
+        out_specs=dict(x=P_(None), y=P_(None), s=P_(axis), z=P_(axis),
+                       gap=P_(), iterations=P_(), status=P_(),
+                       pcost=P_(), dcost=P_(), relgap=P_(),
+                       pres=P_(), dres=P_()))
+    jfn = jax.jit(fn)
+
+    def solve(P, q, G, h, A=None, b=None):
+        if A is None:
+            n = q.shape[0]
+            A = jnp.zeros((0, n), q.dtype)
+            b = jnp.zeros((0,), q.dtype)
+        return jfn(P, q, G, h, A, b)
+
+    return solve
