@@ -496,11 +496,13 @@ def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
     # single-trajectory NT scaling stalls at dres ~ 2e-7 near mu~1e-9
     # (conelp.make_conelp_refresh docstring, measured r04); the
     # refreshed solve reaches the contract in a few post-restart steps
+    # r05: trigger-driven — the stall detector decides when to
+    # restart (stall_exit=4); a healthy run never refreshes
     core = make_conelp_refresh(dims, kktsolver="chol2",
                                maxiters=maxiters, abstol=1e-7,
                                reltol=1e-6, feastol=1e-7,
                                refinement=1, factor_dtype="adaptive",
-                               segment=12, rounds=3)
+                               stall_exit=4, rounds=3)
 
     w, G = _mcsdp_data(m)
     c = jnp.ones((n,), jnp.float64)

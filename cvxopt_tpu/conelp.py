@@ -62,6 +62,10 @@ STATUS_UNKNOWN_SINGULAR = 4
 # internal only: instance handed from the mixed-precision phase to the
 # full-precision rescue phase (never escapes the solver)
 STATUS_NEEDS_F64 = 5
+# internal only: the stall detector fired with `stall_exit` set — the
+# host refresh loop (make_conelp_refresh) restarts from this iterate
+# with a freshly computed scaling
+STATUS_STALLED = 6
 
 # mixed-precision rescue triggers (per instance, all outcome-based so
 # clean instances never false-positive):
@@ -82,6 +86,7 @@ STATUS_STRINGS = {
     STATUS_DUAL_INFEASIBLE: "dual infeasible",
     STATUS_UNKNOWN_MAXITERS: "unknown",
     STATUS_UNKNOWN_SINGULAR: "unknown",
+    STATUS_STALLED: "unknown",
 }
 
 # STEP and EXPON constants (coneprog.py:423-424)
@@ -147,7 +152,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                   n, p, dtype, maxiters, abstol, reltol, feastol,
                   refinement, show_progress, primalstart=None,
                   dualstart=None, factor64=None, relres_trigger=True,
-                  detect_rescue=False, debug=False):
+                  detect_rescue=False, stall_exit=None, debug=False):
     """The conelp algorithm with all linear maps abstracted as closures
     (coneprog.py:31-1437).  Pure; call inside jit."""
     e = cones.cone_identity(dims, dtype=dtype)
@@ -479,8 +484,17 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
             regressed = m > 100.0 * st["best_m"]
             stalled = ((stall2 >= RESCUE_STALL_ITERS) | collapse
                        | regressed)
+            stall_status = STATUS_NEEDS_F64
+        elif stall_exit is not None:
+            # trigger-driven refresh (make_conelp_refresh): hand the
+            # current iterate back to the host loop when the measured
+            # convergence stalls, instead of an open-loop segment
+            collapse = (gap <= abstol) & (m > 10.0)
+            stalled = (stall2 >= stall_exit) | collapse
+            stall_status = STATUS_STALLED
         else:
             stalled = False
+            stall_status = STATUS_NEEDS_F64
 
         new_status = jnp.where(
             optimal, STATUS_OPTIMAL,
@@ -488,7 +502,7 @@ def _conelp_solve(dims: ConeDims, *, factor, Gf, GTf, Af, ATf, c, h, b,
                       jnp.where(pinf, STATUS_PRIMAL_INFEASIBLE,
                                 jnp.where(dinf, STATUS_DUAL_INFEASIBLE,
                                           jnp.where(stalled,
-                                                    STATUS_NEEDS_F64,
+                                                    stall_status,
                                                     STATUS_RUNNING)))))
         new_status = new_status.astype(jnp.int32)
         exiting = new_status != STATUS_RUNNING
@@ -645,13 +659,17 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
                 kktreg: Optional[float] = None,
                 factor_dtype: Optional[str] = None,
                 show_progress: bool = False,
+                stall_exit: Optional[int] = None,
                 debug: bool = False):
     """Build the jitted conelp core for a fixed cone structure.
 
     Returns f(c, G, h, A, b) -> dict of result arrays.  Cached per
     `dims`+options and jit-compiled per argument shapes — the
     vmap/pjit entry point for batched solving.
-    """
+
+    ``stall_exit``: exit with the internal STATUS_STALLED after that
+    many consecutive non-improving iterations (the refresh trigger,
+    make_conelp_refresh)."""
     kktsolver, refinement = _resolve_opts(dims, kktsolver, refinement)
 
     def core(c, G, h, A, b):
@@ -672,7 +690,8 @@ def make_conelp(dims: ConeDims, kktsolver: str = "default",
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
-            show_progress=show_progress, debug=debug,
+            show_progress=show_progress, stall_exit=stall_exit,
+            debug=debug,
             relres_trigger=_relres_trigger(dims, kktsolver))
 
     return jax.jit(core)
@@ -866,7 +885,8 @@ def make_conelp_ws(dims: ConeDims, kktsolver: str = "default",
                    reltol: float = 1e-6, feastol: float = 1e-7,
                    refinement: Optional[int] = None,
                    kktreg: Optional[float] = None,
-                   factor_dtype: Optional[str] = None):
+                   factor_dtype: Optional[str] = None,
+                   stall_exit: Optional[int] = None):
     """Warm-started jitted conelp core:
     f(c, G, h, A, b, x0, y0, z0) -> result dict.
 
@@ -928,7 +948,7 @@ def make_conelp_ws(dims: ConeDims, kktsolver: str = "default",
             c=c, h=h, b=b, n=c.shape[0], p=A.shape[0], dtype=c.dtype,
             maxiters=maxiters, abstol=abstol, reltol=reltol,
             feastol=feastol, refinement=refinement,
-            show_progress=False,
+            show_progress=False, stall_exit=stall_exit,
             primalstart={"x": x0, "s": s0},
             dualstart={"y": y0, "z": z0},
             relres_trigger=_relres_trigger(dims, kktsolver))
@@ -1191,7 +1211,9 @@ def make_conelp_refresh(dims: ConeDims, kktsolver: str = "default",
                         refinement: Optional[int] = None,
                         kktreg: Optional[float] = None,
                         factor_dtype: Optional[str] = None,
-                        segment: int = 12, rounds: int = 3):
+                        stall_exit: int = 4,
+                        segment: Optional[int] = None,
+                        rounds: int = 3):
     """conelp with PERIODIC SCALING REFRESH — the TPU 's'-cone
     production path for single large cone programs.
 
@@ -1207,20 +1229,28 @@ def make_conelp_refresh(dims: ConeDims, kktsolver: str = "default",
     in 3 post-refresh iterations on the mcsdp m=200 state where the
     single-trajectory solve stalls).
 
-    Host-driven: runs the cold core for `segment` iterations; while
-    not optimal and `rounds` remain, continues through the
-    warm-started core (make_conelp_ws) from the current iterates.
-    Each phase is one jitted program; intermediate iterates stay on
-    device.  Returns the reference-format result dict of arrays plus
-    cumulative `iterations`."""
-    cold = make_conelp(dims, kktsolver=kktsolver, maxiters=segment,
+    Host-driven, TRIGGERED by the measured stall detector (r05; the
+    r04 open-loop `segment` mode remains available by passing
+    ``segment``): the core runs until it converges, certifies
+    infeasibility, or the per-iteration convergence measure stops
+    improving for `stall_exit` consecutive iterations (the same
+    detector that gates the batched rescue phase) — only then does the
+    host restart the warm core from the current iterate with a freshly
+    computed scaling.  A healthy solve (e.g. any CPU run) never
+    restarts and pays zero extra iterations.  Each phase is one jitted
+    program; intermediate iterates stay on device.  Returns the
+    reference-format result dict of arrays plus cumulative
+    `iterations` and `refresh_rounds`."""
+    se = None if segment is not None else stall_exit
+    seg_iters = segment if segment is not None else maxiters
+    cold = make_conelp(dims, kktsolver=kktsolver, maxiters=seg_iters,
                        abstol=abstol, reltol=reltol, feastol=feastol,
                        refinement=refinement, kktreg=kktreg,
-                       factor_dtype=factor_dtype)
-    ws = make_conelp_ws(dims, kktsolver=kktsolver, maxiters=segment,
+                       factor_dtype=factor_dtype, stall_exit=se)
+    ws = make_conelp_ws(dims, kktsolver=kktsolver, maxiters=seg_iters,
                         abstol=abstol, reltol=reltol, feastol=feastol,
                         refinement=refinement, kktreg=kktreg,
-                        factor_dtype=factor_dtype)
+                        factor_dtype=factor_dtype, stall_exit=se)
 
     def solve(c, G, h, A, b):
         out = cold(c, G, h, A, b)
@@ -1229,16 +1259,29 @@ def make_conelp_refresh(dims: ConeDims, kktsolver: str = "default",
         # only refresh on inconclusive exits: OPTIMAL and the two
         # infeasibility certificates are terminal — re-entering the
         # warm core would burn iterations and overwrite the
-        # certificate-bearing result (ADVICE r04).
+        # certificate-bearing result (ADVICE r04).  In trigger mode
+        # (segment=None) only an explicit STATUS_STALLED refreshes;
+        # in the legacy open-loop mode any inconclusive exit does.
         conclusive = (STATUS_OPTIMAL, STATUS_PRIMAL_INFEASIBLE,
                       STATUS_DUAL_INFEASIBLE)
-        while (int(out["status"]) not in conclusive and r < rounds
+
+        def wants_refresh(status):
+            if segment is None:
+                return status == STATUS_STALLED
+            return status not in conclusive
+
+        while (wants_refresh(int(out["status"])) and r < rounds
                and total < maxiters):
             nxt = ws(c, G, h, A, b, out["x"], out["y"], out["z"])
             total += int(nxt["iterations"])
             r += 1
             out = nxt
         out = dict(out)
+        if int(out["status"]) == STATUS_STALLED:
+            # exhausted rounds while stalled: report the reference's
+            # inconclusive status, keeping the best iterate
+            out["status"] = jnp.asarray(STATUS_UNKNOWN_MAXITERS,
+                                        jnp.int32)
         out["iterations"] = total
         out["refresh_rounds"] = r
         return out

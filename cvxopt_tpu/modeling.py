@@ -84,6 +84,12 @@ class variable:
     def __rmul__(self, o):
         return self._expr().__rmul__(o)
 
+    def __truediv__(self, o):
+        return self._expr() / o
+
+    def __pos__(self):
+        return self._expr()
+
     def __matmul__(self, o):
         raise TypeError("variable cannot left-multiply")
 
@@ -104,6 +110,11 @@ class variable:
 
     def __eq__(self, o):
         return self._expr() == o
+
+    # strict comparisons are constraint aliases, as in the reference
+    # (modeling.py:654-659: __lt__ == __le__, __gt__ == __ge__)
+    __lt__ = __le__
+    __gt__ = __ge__
 
     def __hash__(self):
         return id(self)
@@ -231,6 +242,23 @@ class Expr:
             return self._scale(float(np.asarray(o).reshape(())))
         raise TypeError("only scalar right-multiplication is supported")
 
+    def __pos__(self):
+        return self
+
+    def __truediv__(self, o):
+        """Division by a nonzero scalar constant (reference
+        modeling.py:576-633); dividing BY an expression is a
+        TypeError there too."""
+        if isinstance(o, (Expr, variable)):
+            raise TypeError("division by an expression is not "
+                            "supported")
+        if np.isscalar(o) or (isinstance(o, np.ndarray) and o.size == 1):
+            return self._scale(1.0 / float(np.asarray(o).reshape(())))
+        raise TypeError("only scalar division is supported")
+
+    def __rtruediv__(self, o):
+        raise TypeError("division by an expression is not supported")
+
     def __rmul__(self, o):
         o = np.asarray(o, dtype=float)
         if o.ndim == 0 or o.size == 1:
@@ -271,6 +299,11 @@ class Expr:
 
     def __eq__(self, o):
         return constraint(self - _to_expr(o, len(self)), "=")
+
+    # strict comparisons alias the non-strict ones (reference
+    # modeling.py:654-659)
+    __lt__ = __le__
+    __gt__ = __ge__
 
     def __hash__(self):
         return id(self)

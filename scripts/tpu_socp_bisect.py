@@ -70,21 +70,26 @@ def per_step(tag, dtype=jnp.float64, **kw):
           f"T{HI}={out[HI]:.2f}s)", flush=True)
 
 
-# 1. the full phase-B configuration
-per_step("B full (cholqr_inv f32, ref=2, f64 io)",
-         kktsolver="cholqr_inv", factor_dtype="float32", refinement=2)
-# 2. refinement off
-per_step("B ref=0", kktsolver="cholqr_inv", factor_dtype="float32",
-         refinement=0)
-# 3. refinement=1
-per_step("B ref=1", kktsolver="cholqr_inv", factor_dtype="float32",
-         refinement=1)
-# 4. same solver, f32 io (isolates the f64-ness of the outer loop)
-per_step("B-shape f32 io", dtype=jnp.float32,
-         kktsolver="cholqr_inv", factor_dtype=None, refinement=2)
-# 5. phase-A configuration at f64 io (chol2_inv factor)
-per_step("A-shape f64 io (chol2_inv, ref=0)",
-         kktsolver="chol2_inv", factor_dtype="float32", refinement=0)
-# 6. phase-A reference point (all f32)
-per_step("A f32 (chol2_inv, ref=0)", dtype=jnp.float32,
-         kktsolver="chol2_inv", factor_dtype=None, refinement=0)
+CONFIGS = {
+    "bfull": ("B full (cholqr_inv f32, ref=2, f64 io)", {},
+              dict(kktsolver="cholqr_inv", factor_dtype="float32",
+                   refinement=2)),
+    "bref0": ("B ref=0", {},
+              dict(kktsolver="cholqr_inv", factor_dtype="float32",
+                   refinement=0)),
+    "bref1": ("B ref=1", {},
+              dict(kktsolver="cholqr_inv", factor_dtype="float32",
+                   refinement=1)),
+    "bf32": ("B-shape f32 io", dict(dtype=jnp.float32),
+             dict(kktsolver="cholqr_inv", factor_dtype=None,
+                  refinement=2)),
+    "af64": ("A-shape f64 io (chol2_inv, ref=0)", {},
+             dict(kktsolver="chol2_inv", factor_dtype="float32",
+                  refinement=0)),
+    "af32": ("A f32 (chol2_inv, ref=0)", dict(dtype=jnp.float32),
+             dict(kktsolver="chol2_inv", factor_dtype=None,
+                  refinement=0)),
+}
+which = sys.argv[2] if len(sys.argv) > 2 else "bfull"
+tag, extra, kw = CONFIGS[which]
+per_step(tag, **extra, **kw)

@@ -540,3 +540,45 @@ def test_solvers_namespace_exports_cp_cpl_gp():
     assert solvers.gp is _gp
     for name in ("cp", "cpl", "gp"):
         assert name in solvers.__all__
+
+
+def test_conelp_refresh_trigger_mode():
+    """Trigger-driven refresh (VERDICT r04 #7): on CPU a healthy solve
+    never restarts (refresh_rounds == 0) and costs exactly the plain
+    core's iterations; certificates are preserved; the legacy
+    open-loop segment mode still runs."""
+    from cvxopt_tpu.conelp import (make_conelp, make_conelp_refresh,
+                                   ConeDims)
+    m = 12
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((m, m)); w = (w + w.T) / np.sqrt(m)
+    G = np.zeros((m * m, m))
+    for j in range(m):
+        G[j * m + j, j] = -1.0
+    c = jnp.ones((m,), jnp.float64)
+    Gj = jnp.asarray(G); hj = jnp.asarray(w.reshape(-1, order="F"))
+    A0 = jnp.zeros((0, m), jnp.float64); b0 = jnp.zeros((0,))
+    dims = ConeDims(s=(m,))
+    ref = make_conelp(dims, kktsolver="chol2", maxiters=50)(
+        c, Gj, hj, A0, b0)
+    out = make_conelp_refresh(dims, kktsolver="chol2", maxiters=50,
+                              stall_exit=4, rounds=3)(
+        c, Gj, hj, A0, b0)
+    assert int(out["status"]) == 0
+    assert out["refresh_rounds"] == 0
+    assert int(out["iterations"]) == int(ref["iterations"])
+    # legacy open-loop mode
+    out2 = make_conelp_refresh(dims, kktsolver="chol2", maxiters=50,
+                               segment=12, rounds=3)(
+        c, Gj, hj, A0, b0)
+    assert int(out2["status"]) == 0
+
+    # infeasibility certificate must not be consumed by a refresh
+    c1 = jnp.asarray([1.0])
+    G1 = jnp.asarray([[1.0], [-1.0]])
+    h1 = jnp.asarray([-1.0, -1.0])
+    dl = ConeDims(l=2)
+    o3 = make_conelp_refresh(dl, maxiters=50, stall_exit=4)(
+        c1, G1, h1, jnp.zeros((0, 1)), jnp.zeros((0,)))
+    assert int(o3["status"]) == 1          # primal infeasible
+    assert o3["refresh_rounds"] == 0
