@@ -465,7 +465,9 @@ def make_coneqp(dims: ConeDims, kktsolver: str = "default",
         factor = kktmod.get_kktsolver(fname, G, dims, A,
                                       kktreg=kktreg,
                                       factor_dtype=fd)
-        Pw = kktmod.wrap_P(fname, P)
+        Pw = kktmod.wrap_P(fname, P,
+                           factor_dtype=(fd if fd == "float32"
+                                         else None))
         return _coneqp_solve(
             dims, factor_W=lambda W: factor(W, Pw),
             factor_W64=factor_W64,
@@ -571,7 +573,7 @@ def make_coneqp_cascade(dims: ConeDims, kktsolver: str = "default",
         factor_b = kktmod.get_kktsolver(bname, G, dims, A,
                                         kktreg=kktreg,
                                         factor_dtype="float32")
-        Pb = kktmod.wrap_P(bname, P)
+        Pb = kktmod.wrap_P(bname, P, factor_dtype="float32")
         return _coneqp_solve(
             dims, factor_W=lambda W: factor_b(W, Pb),
             detect_rescue=True,
@@ -821,7 +823,9 @@ def _adv_qp_runner(dims, n, pdim, fkey, factor_dtype, kktreg,
                 fd = "float32"
             factor = kktmod.get_kktsolver(
                 fkey, Gm, dims, Am, kktreg=kktreg, factor_dtype=fd)
-            Pw = kktmod.wrap_P(fkey, Pm)
+            Pw = kktmod.wrap_P(fkey, Pm,
+                               factor_dtype=(fd if fd == "float32"
+                                             else None))
             factor_W = lambda W: factor(W, Pw)
         return _coneqp_solve(
             dims, factor_W=factor_W, factor_W64=factor_W64,

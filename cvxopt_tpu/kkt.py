@@ -514,9 +514,40 @@ class PFactor:
         self.Rt = Rt
 
 
-def psqrt_factor(P) -> "PFactor":
-    """PSD square-root factor Rt with Rt'Rt = P, via eigh (PSD-safe:
-    negative eigenvalues from roundoff are clamped to zero)."""
+def psqrt_factor(P, dtype=None) -> "PFactor":
+    """PSD square-root factor Rt with Rt'Rt = P.
+
+    Default (dtype=None): via eigh (PSD-safe: negative eigenvalues
+    from roundoff are clamped to zero) — full working precision.
+
+    ``dtype`` set (the reduced-precision cholqr path): via Cholesky of
+    P + jitter in that dtype.  The factor only ever enters the
+    reduced-precision QR stack, so a preconditioner-grade Rt is
+    enough; the f64 refinement measures residuals against the TRUE P.
+    This matters enormously on the emulated-f64 TPU backend: the
+    batched eigh_accurate psqrt measured 7.47 s at (512, 64, 64) f64
+    where the f32 Cholesky is 38 ms (r05, scripts/tpu_socp_bisect.py)
+    — it was the entire fixed cost that held the SOCP bench at 2.4x.
+    Jitter is relative (3e-7 max diag, retried at 1e-3 for lanes where
+    the first Cholesky fails), so PSD-up-to-roundoff inputs are safe;
+    an indefinite P still NaNs and lands in the rescue detectors."""
+    if dtype is not None:
+        Pf = P.astype(dtype)
+        n = P.shape[-1]
+        eye = jnp.eye(n, dtype=Pf.dtype)
+        dmax = jnp.max(jnp.abs(
+            jnp.diagonal(Pf, axis1=-2, axis2=-1)), axis=-1)
+        tiny = jnp.asarray(1e-25, Pf.dtype)
+
+        def try_(eps):
+            shift = (eps * dmax + tiny)[..., None, None] * eye
+            L = jnp.linalg.cholesky(Pf + shift)
+            return jnp.swapaxes(L, -1, -2)
+
+        R1, R2 = try_(3e-7), try_(1e-3)
+        bad = ~jnp.isfinite(jnp.sum(R1, axis=(-2, -1),
+                                    keepdims=True))
+        return PFactor(jnp.where(bad, R2, R1))
     from cvxopt_tpu.ops.jacobi import eigh_accurate
     w, U = eigh_accurate(P)
     Rt = jnp.sqrt(jnp.maximum(w, 0.0))[..., :, None] \
@@ -574,7 +605,7 @@ def kkt_cholqr(G, dims: ConeDims, A, mnl: int = 0,
             M = Gs
         else:
             Rp = H.Rt if isinstance(H, PFactor) \
-                else psqrt_factor(H).Rt
+                else psqrt_factor(H, dtype=factor_dtype).Rt
             M = jnp.concatenate([Gs, Rp.astype(fdt)], axis=0)
         Q1f, Q2f = Q1.astype(fdt), Q2.astype(fdt)
         M2 = M @ Q2f                                     # (cdim+n, n-p)
@@ -761,13 +792,15 @@ def robust_name(name: str) -> str:
             "qr_inv": "qr", "cholqr_inv": "cholqr"}.get(name, name)
 
 
-def wrap_P(name, P):
+def wrap_P(name, P, factor_dtype=None):
     """Hoist `psqrt_factor` out of the solver iteration for the cholqr
     strategies: the (1,1) block is constant across coneqp iterations,
-    so its eigh runs once per problem, not once per factor call."""
+    so it runs once per problem, not once per factor call.  When the
+    factor itself is reduced-precision, the psqrt is too (see
+    psqrt_factor — the 197x TPU fix)."""
     if isinstance(name, str) and "cholqr" in name and P is not None \
             and not callable(P) and hasattr(P, "ndim"):
-        return psqrt_factor(P)
+        return psqrt_factor(P, dtype=factor_dtype)
     return P
 
 

@@ -128,29 +128,38 @@ def eigh_jacobi(A, sweeps: int = 12):
     eye = jnp.eye(me, dtype=dtype)
 
     def one_round(AV, pq):
+        # The round's me/2 rotations are DISJOINT, so J'AJ reduces to
+        # elementwise column then row combinations — O(m^2) per round
+        # instead of the O(m^3) full-J matmuls (r05: the matmul form
+        # cost 379 ms per (2,200,200) eigh_accurate on the emulated-
+        # f64 TPU backend; emulated-f64 dot_general is the platform
+        # pathology, ops/matvec.py)
         A, V = AV
         p, q = pq
         app = A[..., p, p]
         aqq = A[..., q, q]
         apq = A[..., p, q]
         c, s = _rotation(app, aqq, apq, dtype)
-        J = jnp.broadcast_to(eye, batch + (me, me))
-        J = J.at[..., p, p].set(c)
-        J = J.at[..., q, q].set(c)
-        J = J.at[..., p, q].set(s)
-        J = J.at[..., q, p].set(-s)
-        JT = jnp.swapaxes(J, -1, -2)
-        A = JT @ A @ J
-        V = V @ J
-        # re-symmetrize against drift
-        A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+        cc, sc = c[..., None, :], s[..., None, :]
+        Ap, Aq = A[..., :, p], A[..., :, q]
+        A = A.at[..., :, p].set(cc * Ap - sc * Aq)
+        A = A.at[..., :, q].set(sc * Ap + cc * Aq)
+        cr, sr = c[..., :, None], s[..., :, None]
+        Ap, Aq = A[..., p, :], A[..., q, :]
+        A = A.at[..., p, :].set(cr * Ap - sr * Aq)
+        A = A.at[..., q, :].set(sr * Ap + cr * Aq)
+        Vp, Vq = V[..., :, p], V[..., :, q]
+        V = V.at[..., :, p].set(cc * Vp - sc * Vq)
+        V = V.at[..., :, q].set(sc * Vp + cc * Vq)
         return (A, V), 0
 
     xs = (jnp.asarray(prs), jnp.asarray(qrs))
 
     def sweep(_, AV):
-        AV, _ = lax.scan(one_round, AV, xs)
-        return AV
+        (A, V), _ = lax.scan(one_round, AV, xs)
+        # re-symmetrize against drift once per sweep
+        A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+        return (A, V)
 
     V0 = jnp.broadcast_to(eye, batch + (me, me))
     A, V = lax.fori_loop(0, sweeps, sweep, (A, V0))
@@ -220,10 +229,12 @@ def gram_eigh_accurate(M, sweeps: int = 6, force: bool = False):
         B = jnp.pad(M @ V0, [(0, 0)] * (M.ndim - 1) + [(0, me - mc)])
     else:
         B = M @ V0
-    eye = jnp.eye(me, dtype=M.dtype)
     Vp = _pad_even(jnp.broadcast_to(V0, batch + (mc, mc)), me)
 
     def one_round(BV, pq):
+        # disjoint rotations -> elementwise column pair combinations
+        # (see eigh_jacobi.one_round: the full-J matmul form is the
+        # emulated-f64 TPU pathology)
         B, V = BV
         p, q = pq
         Bp = B[..., :, p]
@@ -232,12 +243,13 @@ def gram_eigh_accurate(M, sweeps: int = 6, force: bool = False):
         aqq = jnp.sum(Bq * Bq, axis=-2)
         apq = jnp.sum(Bp * Bq, axis=-2)
         c, s = _rotation(app, aqq, apq, M.dtype)
-        J = jnp.broadcast_to(eye, batch + (me, me))
-        J = J.at[..., p, p].set(c)
-        J = J.at[..., q, q].set(c)
-        J = J.at[..., p, q].set(s)
-        J = J.at[..., q, p].set(-s)
-        return (B @ J, V @ J), 0
+        cc, sc = c[..., None, :], s[..., None, :]
+        B = B.at[..., :, p].set(cc * Bp - sc * Bq)
+        B = B.at[..., :, q].set(sc * Bp + cc * Bq)
+        Vp, Vq = V[..., :, p], V[..., :, q]
+        V = V.at[..., :, p].set(cc * Vp - sc * Vq)
+        V = V.at[..., :, q].set(sc * Vp + cc * Vq)
+        return (B, V), 0
 
     xs = (jnp.asarray(prs), jnp.asarray(qrs))
 

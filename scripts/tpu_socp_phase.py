@@ -21,6 +21,7 @@ from cvxopt_tpu.coneqp import make_coneqp_cascade
 
 nb = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+p1tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
 n, nq, mq = 64, 100, 4
 dims = ConeDims(q=(mq,) * nq)
 m = dims.cdim
@@ -28,6 +29,7 @@ m = dims.cdim
 solve = make_coneqp_cascade(dims, kktsolver="chol2_inv",
                             maxiters=50, abstol=1e-7,
                             reltol=1e-7, feastol=1e-7,
+                            phase1_tol=p1tol,
                             shared_GhAb=False, instrument=True)
 
 
