@@ -672,7 +672,8 @@ def bench_large_kkt(n=10240):
             S = F @ F.T + jnp.eye(n) + (Gt * d) @ Gt.T
         return S
 
-    from cvxopt_tpu.ops.blockinv import blocked_cholesky, spd_inverse
+    from cvxopt_tpu.ops.blockinv import (blocked_cholesky,
+                                         panel_cholesky, spd_inverse)
 
     # the seed perturbations below keep every request distinct (the
     # remote backend caches identical requests) at negligible cost
@@ -685,6 +686,11 @@ def bench_large_kkt(n=10240):
     def factor_blocked(seed, S):
         Sp = S.at[0, 0].add(1e-6 * seed)
         return jnp.sum(blocked_cholesky(Sp))
+
+    @jax.jit
+    def factor_panel(seed, S):
+        Sp = S.at[0, 0].add(1e-6 * seed)
+        return jnp.sum(panel_cholesky(Sp, panel=512))
 
     @jax.jit
     def factor_inv(seed, S):
@@ -725,6 +731,14 @@ def bench_large_kkt(n=10240):
     t_fac = t_of(factor_xla, S)
     t_fac_blk = t_of(factor_blocked, S)
     try:
+        t_fac_pan = t_of(factor_panel, S)
+        # accuracy probe: reconstruction residual of the panel factor
+        Lp = panel_cholesky(S, panel=512)
+        panel_relres = float(
+            jnp.linalg.norm(Lp @ Lp.T - S) / jnp.linalg.norm(S))
+    except Exception as e:                           # pragma: no cover
+        t_fac_pan, panel_relres = None, repr(e)[:120]
+    try:
         t_fac_inv = t_of(factor_inv, S)
         Sinv = spd_inverse(S, base=1280)
         t_sol_inv = t_of(solve_inv, Sinv)
@@ -736,7 +750,7 @@ def bench_large_kkt(n=10240):
     except Exception as e:                           # pragma: no cover
         t_fac_inv, t_sol_inv, relres = None, None, repr(e)[:120]
     t_sol = t_of(solve, L)
-    best_fac = min(x for x in (t_fac, t_fac_blk, t_fac_inv)
+    best_fac = min(x for x in (t_fac, t_fac_blk, t_fac_inv, t_fac_pan)
                    if x is not None)
     best_sol = t_sol_inv if (t_fac_inv is not None
                              and t_fac_inv == best_fac) else t_sol
@@ -746,6 +760,9 @@ def bench_large_kkt(n=10240):
                 assembly_highest_ms=round(t_asm_hst * 1e3, 1),
                 factor_xla_chol_ms=round(t_fac * 1e3, 1),
                 factor_blocked_chol_ms=round(t_fac_blk * 1e3, 1),
+                factor_panel_chol_ms=(
+                    round(t_fac_pan * 1e3, 1) if t_fac_pan else None),
+                panel_relres_f32=panel_relres,
                 factor_spd_inverse_ms=(
                     round(t_fac_inv * 1e3, 1) if t_fac_inv else None),
                 solve_triangular_ms=round(t_sol * 1e3, 1),
@@ -756,7 +773,8 @@ def bench_large_kkt(n=10240):
                 solve_ms=round(best_sol * 1e3, 1),
                 note="f32 + f64 iterative refinement; assembly at "
                      "3-pass 'high' matmul precision; factor/solve = "
-                     "best of XLA chol / blocked chol / spd_inverse")
+                     "best of XLA chol / blocked chol / panel chol / "
+                     "spd_inverse")
 
 
 def bench_markowitz(nb=64, n=500, maxiters=50):

@@ -308,9 +308,17 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
 
     def factor_adaptive(W, H=None, Df=None):
         GG = _stack_gg(G, Df)
-        Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
-        io_dtype = Gs.dtype
-        Gs32 = Gs.astype(jnp.float32)
+        io_dtype = GG.dtype
+        # f32 FAST PATH FIRST (r05): cast before scaling, exactly as
+        # the plain f32 factor — the f64 row scaling and the f64
+        # Gram/probe matvecs previously ran unconditionally and cost
+        # 167 ms/factor at mcsdp m=200 where the pure-f32 factor is
+        # 15.6 ms (scripts/tpu_sdp_iter_budget.py); all f64 work now
+        # lives inside the need64 cond branch.
+        W32 = jax.tree_util.tree_map(
+            lambda u: u.astype(jnp.float32), W)
+        Gs32 = scale_rows(GG.astype(jnp.float32), W32, dims,
+                          trans="T", inverse="I")
         S32 = Gs32.T @ Gs32
         if H is not None:
             S32 = S32 + H.astype(jnp.float32)
@@ -328,17 +336,14 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
             w = w.astype(io_dtype)
             return deq64 * w if w.ndim == 1 else deq64[:, None] * w
 
-        def S64mv(v):
-            r = Gs.T @ (Gs @ v)
-            if H is not None:
-                r = r + H @ v
-            return r
-
-        # probe: one f32 solve, f64 residual — the measured error
-        # contraction of a refinement round with this factor
+        # probe: one f32 solve, residual in f64 ARITHMETIC against the
+        # f32-valued Gram matrix (decision-only: the ~1e-7 operator
+        # quantization is far below the 1e-6 threshold's margin)
+        Sp64 = S32.astype(io_dtype)
         r0 = jnp.ones((n,), io_dtype) / float(n) ** 0.5
         t0 = solve32(r0)
-        relres = jnp.linalg.norm(S64mv(t0) - r0) / jnp.linalg.norm(r0)
+        relres = jnp.linalg.norm(mv(Sp64, t0) - r0) \
+            / jnp.linalg.norm(r0)
         # the refinement contraction of the composite KKT solve is
         # amplified beyond this single-probe residual by the equality
         # Schur complement (kappa(K)) and the cone scaling, so the
@@ -358,27 +363,35 @@ def kkt_chol2(G, dims: ConeDims, A, mnl: int = 0,
         # rounds (f64 matmuls) reach f64-class residuals even at
         # kappa ~ 1e12.  Non-PD S surfaces as w <= 0 -> NaN inverse,
         # preserving the solvers' NaN singularity contract.
+        # The branch returns the f64 Gram matrix S too: the per-solve
+        # refinement only needs S @ v (an (n, n) mv), never the
+        # (cdim, n) scaled G.
         from cvxopt_tpu.ops.jacobi import eigh_accurate
 
         def eig64():
+            Gs = scale_rows(GG, W, dims, trans="T", inverse="I")
             S = Gs.T @ Gs
             if H is not None:
                 S = S + H
             w, V = eigh_accurate(S)
             winv = jnp.where(w > 0, 1.0 / jnp.where(w > 0, w, 1.0),
                              jnp.nan)
-            return winv, V
+            return winv, V, S
 
-        winv64, V64 = jax.lax.cond(
+        winv64, V64, S64 = jax.lax.cond(
             need64, eig64,
             lambda: (jnp.zeros((n,), io_dtype),
+                     jnp.zeros((n, n), io_dtype),
                      jnp.zeros((n, n), io_dtype)))
 
         def Sinv(v):
             def app64(u):
-                t = V64.T @ u
+                t = mvt(V64, u) if u.ndim == 1 else V64.T @ u
                 t = winv64 * t if u.ndim == 1 else winv64[:, None] * t
-                return V64 @ t
+                return mv(V64, t) if u.ndim == 1 else V64 @ t
+
+            def S64mv(u):
+                return mv(S64, u) if u.ndim == 1 else S64 @ u
 
             def s64(u):
                 x = app64(u)

@@ -69,6 +69,64 @@ def spd_inverse(S, base: int = BASE):
     return 0.5 * (X + jnp.swapaxes(X, -1, -2))
 
 
+def tri_inverse_lower(L, base: int = 128):
+    """Inverse of a (batched) lower-triangular matrix by 2x2 block
+    recursion:
+
+        inv([[L11, 0], [L21, L22]]) =
+            [[inv(L11), 0], [-inv(L22) L21 inv(L11), inv(L22)]]
+
+    All work above the base case is two half-size recursions plus two
+    matmuls (MXU-shaped) — the TPU replacement for the sequential
+    n-RHS `solve_triangular` (reference trtri, lapack.c)."""
+    n = L.shape[-1]
+    if n <= base:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        return jsl.solve_triangular(L, eye, lower=True)
+    k = n // 2
+    L11i = tri_inverse_lower(L[..., :k, :k], base)
+    L22i = tri_inverse_lower(L[..., k:, k:], base)
+    X21 = -L22i @ (L[..., k:, :k] @ L11i)
+    z = jnp.zeros(L.shape[:-2] + (k, n - k), L.dtype)
+    top = jnp.concatenate([L11i, z], axis=-1)
+    bot = jnp.concatenate([X21, L22i], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def panel_cholesky(S, panel: int = 512):
+    """Right-looking block-panel Cholesky for LARGE single instances
+    (VERDICT r04 #3; the dense twin of blocksparse.factor's scan
+    design, SURVEY §7 "speed-of-light" item).
+
+    Per panel k (python-unrolled — n/panel static iterations):
+      1. Lkk  = chol(S[k,k])                (small XLA cholesky)
+      2. Lki  = tri_inverse_lower(Lkk)      (matmul recursion)
+      3. L[k+1:,k] = S[k+1:,k] Lki'         (one tall GEMM)
+      4. S[k+1:,k+1:] -= L[k+1:,k] L[k+1:,k]'  (one big MXU syrk)
+
+    All O(n^3) work is in steps 3-4 as full-width MXU matmuls; the
+    sequential content is n/panel small cholesky factorizations
+    instead of XLA's n/128 internal panel steps with narrow updates.
+    n must be a multiple of `panel` (the KKT consumers pad).  NaN
+    semantics from the base-case cholesky, as elsewhere."""
+    n = S.shape[-1]
+    assert n % panel == 0, "panel_cholesky requires panel | n"
+    L = jnp.zeros_like(S)
+    A = S
+    for k0 in range(0, n, panel):
+        k1 = k0 + panel
+        Akk = A[..., k0:k1, k0:k1]
+        Lkk = jnp.linalg.cholesky(Akk)
+        L = L.at[..., k0:k1, k0:k1].set(Lkk)
+        if k1 < n:
+            Lki = tri_inverse_lower(Lkk)
+            L21 = A[..., k1:, k0:k1] @ jnp.swapaxes(Lki, -1, -2)
+            L = L.at[..., k1:, k0:k1].set(L21)
+            A = A.at[..., k1:, k1:].add(
+                -(L21 @ jnp.swapaxes(L21, -1, -2)))
+    return L
+
+
 def blocked_cholesky(S, block: int = 2560):
     """Recursive 2x2-blocked Cholesky for LARGE single instances.
 

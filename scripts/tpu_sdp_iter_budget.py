@@ -124,12 +124,16 @@ if which in ("all", "kkt"):
     fac_32 = kktmod.get_kktsolver("chol2", Gj, dims, A0,
                                   factor_dtype="float32")
 
+    import jax.scipy.linalg as jsl
+
     def mkW(s_):
         S = s_.reshape(m, m)
         L = jnp.linalg.cholesky(S)
+        Li = jsl.solve_triangular(L, jnp.eye(m, dtype=L.dtype),
+                                  lower=True)
         return {"d": jnp.zeros((0,)), "di": jnp.zeros((0,)),
                 "beta": [], "v": [], "r": [L[None]],
-                "rti": [jnp.linalg.inv(L).T[None]]}
+                "rti": [Li.T[None]]}
 
     def fs_step_of(fac):
         def fs_step(x, args, i):

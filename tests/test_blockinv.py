@@ -72,3 +72,27 @@ def test_blocked_cholesky_nan_on_non_pd():
     S[200, 200] = -1.0
     L = blocked_cholesky(jnp.asarray(S), block=128)
     assert np.isnan(np.asarray(L)).any()
+
+
+def test_panel_cholesky_matches_numpy():
+    """Right-looking block-panel Cholesky (VERDICT r04 #3)."""
+    from cvxopt_tpu.ops.blockinv import panel_cholesky
+    rng = np.random.default_rng(3)
+    n = 768
+    A = rng.standard_normal((n, n))
+    S = A @ A.T + n * np.eye(n)
+    L = np.asarray(panel_cholesky(jnp.asarray(S), panel=256))
+    ref = np.linalg.cholesky(S)
+    np.testing.assert_allclose(L, ref, atol=1e-8 * n)
+    # NaN on non-PD input (solver singularity contract)
+    Sneg = S - 10 * n * np.eye(n)
+    Lb = np.asarray(panel_cholesky(jnp.asarray(Sneg), panel=256))
+    assert np.isnan(Lb).any()
+
+
+def test_tri_inverse_lower():
+    from cvxopt_tpu.ops.blockinv import tri_inverse_lower
+    rng = np.random.default_rng(4)
+    L = np.tril(rng.standard_normal((200, 200))) + 5 * np.eye(200)
+    Li = np.asarray(tri_inverse_lower(jnp.asarray(L), base=64))
+    np.testing.assert_allclose(Li @ L, np.eye(200), atol=1e-10)
