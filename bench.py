@@ -474,6 +474,7 @@ def bench_sdp_baseline(m=200, iters=3):
 
 
 def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
+    _stage_t0 = time.time()
     """BASELINE config 4 (mcsdp pattern): min 1'x s.t. w + diag(x) >= 0
     (one (m,m) PSD block), at the REFERENCE-DEFAULT accuracy contract
     abstol=feastol=1e-7, reltol=1e-6 (coneprog.py:440-454).  Uses the
@@ -575,7 +576,110 @@ def bench_sdp(m=200, maxiters=40, baseline_iters_per_s=None):
         "kkt_factor_solve_f32": round(t_of(mk_fs(fac32)), 1),
         "kkt_factor_solve_f64": round(t_of(mk_fs(fac64)), 1)}
 
-    # ---- batched small SDPs (f32 phase A + warm f64 phase B) ---------
+    # ---- full-iteration attribution (VERDICT r04 #2): chained
+    # in-jit timings of every component the conelp 's' iteration
+    # calls (one-shot timings measure the ~25 ms round trip).
+    # Budget-guarded: on a cold compile cache the ~10 extra programs
+    # could eat the stage timeout and lose the MAIN result with them.
+    from jax import lax as _lax
+
+    if (time.time() - _stage_t0 > float(
+            os.environ.get("BENCH_SDP_ATTR_BUDGET_S", 700))
+            or os.environ.get("BENCH_SDP_ATTR", "1") == "0"):
+        res["breakdown_ms"]["attribution"] = "skipped (stage budget)"
+        return _bench_sdp_batched(res, maxiters)
+
+    def chain_ms(step, K=6, reps=2):
+        def runner(k):
+            @jax.jit
+            def f(seed):
+                x0 = jnp.asarray(1.0 + 1e-9 * seed, jnp.float64)
+                return _lax.fori_loop(0, k,
+                                      lambda i, x: step(x), x0)
+            return f
+
+        out = {}
+        for k, f in ((1, runner(1)), (K, runner(K))):
+            float(np.asarray(f(0)))
+            t0 = time.time()
+            for r_ in range(reps):
+                float(np.asarray(f(r_ + 1)))
+            out[k] = (time.time() - t0) / reps
+        return max((out[K] - out[1]) / (K - 1) * 1e3, 0.0)
+
+    S0 = jnp.eye(m) * 2.0 + 0.05 * jnp.asarray(w)
+
+    def _upd(x):
+        s_ = (S0 * (1.0 + 1e-12 * x)).reshape(-1)
+        Wn, lam = nt.compute_scaling(s_, s_ + 0.01, dims)
+        return x + jnp.mean(lam) * 1e-9
+
+    def _ms_pair(x):      # predictor max_step on the stacked pair
+        X = S0 * (1.0 + 1e-12 * x)
+        from cvxopt_tpu import cones as _cones
+        t = _cones.max_step(
+            jnp.stack([X.reshape(-1), (X + 0.01).reshape(-1)]), dims)
+        return x + jnp.mean(t) * 1e-9
+
+    def _mse_pair(x):     # corrector max_step_eig on the stacked pair
+        X = S0 * (1.0 + 1e-12 * x)
+        from cvxopt_tpu import cones as _cones
+        t, sig, q = _cones.max_step_eig(
+            jnp.stack([X.reshape(-1), (X + 0.01).reshape(-1)]), dims)
+        return x + jnp.mean(sig) * 1e-9
+
+    def _scale_chain(x):  # the per-solve W scalings (2x) + sprod
+        s_ = (S0 * (1.0 + 1e-12 * x)).reshape(-1)
+        Wn, lam = nt.compute_scaling(s_, s_ + 0.01, dims)
+        a = nt.scale(s_, Wn, dims, trans="T")
+        b_ = nt.scale(a, Wn, dims, inverse="I")
+        from cvxopt_tpu import cones as _cones
+        c_ = _cones.sprod(b_, a, dims)
+        return x + jnp.mean(c_) * 1e-9
+
+    def _resid(x):        # outer residual mvt pair on (m*m, m) f64
+        from cvxopt_tpu.ops.matvec import mv as _mv, mvt as _mvt
+        z_ = hj * (1.0 + 1e-12 * x)
+        gz = _mvt(Gj, z_)
+        gx = _mv(Gj, gz)
+        return x + jnp.mean(gx) * 1e-9
+
+    upd_ms = chain_ms(_upd)
+    msp_ms = chain_ms(_ms_pair)
+    mse_ms = chain_ms(_mse_pair)
+    sc_ms = max(chain_ms(_scale_chain) - upd_ms, 0.0)
+    rs_ms = chain_ms(_resid)
+    bd = res["breakdown_ms"]
+    bd.update(nt_update=round(upd_ms, 1),
+              max_step_pair=round(msp_ms, 1),
+              max_step_eig_pair=round(mse_ms, 1),
+              scale2_sprod=round(sc_ms, 1),
+              residual_mvt=round(rs_ms, 1))
+    # one iteration = update_scaling + predictor max_step +
+    # corrector max_step_eig + 1 factor (f32 early / f64-eigh late)
+    # + ~5 KKT solve applications (f4 pred/corr at refinement=1 +
+    # the HSD (c,b,h) solve; solve-only cost ~= factor_solve_f32 -
+    # factor share, approximated by the f32 number) + 2 resid4-class
+    # scaling chains + outer residuals
+    attach = (upd_ms + msp_ms + mse_ms
+              + bd["kkt_factor_solve_f64"]
+              + 4 * max(bd["kkt_factor_solve_f32"] - 10.0, 2.0)
+              + 2 * sc_ms + rs_ms)
+    bd["iteration_attributed"] = round(attach, 1)
+    if res.get("iter_ms"):
+        bd["attribution_frac"] = round(attach / res["iter_ms"], 2)
+
+    return _bench_sdp_batched(res, maxiters)
+
+
+def _bench_sdp_batched(res, maxiters):
+    """Batched small SDPs (f32 phase A + warm f64 phase B) — appended
+    to the bench_sdp result."""
+    import jax
+    import jax.numpy as jnp
+    from cvxopt_tpu.cones import ConeDims
+    from cvxopt_tpu.conelp import make_conelp_cascade
+
     mb, nbatch = 50, 128
     dimsb = ConeDims(s=(mb,))
     solveb = make_conelp_cascade(dimsb, maxiters=maxiters,

@@ -1260,14 +1260,20 @@ def make_conelp_refresh(dims: ConeDims, kktsolver: str = "default",
         # infeasibility certificates are terminal — re-entering the
         # warm core would burn iterations and overwrite the
         # certificate-bearing result (ADVICE r04).  In trigger mode
-        # (segment=None) only an explicit STATUS_STALLED refreshes;
-        # in the legacy open-loop mode any inconclusive exit does.
+        # (segment=None) a STALLED exit refreshes, and so does a
+        # SINGULAR one: on the emulated-f64 TPU 's' path the carried
+        # scaling can break the factorization near convergence (the
+        # measured mcsdp m=200 singular-at-iteration-11 pathology,
+        # kkt.py adaptive notes) and a fresh-scaling restart repairs
+        # exactly that.  MAXITERS stays terminal.  In the legacy
+        # open-loop mode any inconclusive exit refreshes.
         conclusive = (STATUS_OPTIMAL, STATUS_PRIMAL_INFEASIBLE,
                       STATUS_DUAL_INFEASIBLE)
 
         def wants_refresh(status):
             if segment is None:
-                return status == STATUS_STALLED
+                return status in (STATUS_STALLED,
+                                  STATUS_UNKNOWN_SINGULAR)
             return status not in conclusive
 
         while (wants_refresh(int(out["status"])) and r < rounds

@@ -475,8 +475,12 @@ def max_step(x: Array, dims: ConeDims) -> Array:
         X = sview(x, run)
         # eigh_accurate: the emulated-f64 eigh on the TPU backend is
         # f32-grade (ops/jacobi.py block comment); lambda_min feeds
-        # step lengths and interiority checks
-        w = eigh_accurate(X)[0]                          # ascending
+        # step lengths and interiority checks.  VALUES-ONLY here:
+        # eigenvalues converge quadratically from the 1e-7-off-diag
+        # f32 seed (1 sweep -> ~1e-14), so 3 sweeps carry a wide
+        # margin at 2/5 the polish cost of the eigenvector-grade
+        # default (r05; the eigh is ~17% of the SDP iteration)
+        w = eigh_accurate(X, sweeps=3)[0]                # ascending
         ts.append(jnp.max(-w[..., 0], axis=-1))
     if not ts:
         return jnp.zeros(x.shape[:-1], dtype=x.dtype)
