@@ -773,7 +773,13 @@ def bench_large_kkt(n=10240):
         key = jax.random.PRNGKey(seed)
         d = jax.random.uniform(key, (n,), jnp.float32, 0.5, 2.0)
         with jax.default_matmul_precision(prec):
-            S = F @ F.T + jnp.eye(n) + (Gt * d) @ Gt.T
+            # dtype-explicit eye: under x64 a bare jnp.eye(n) is f64
+            # and silently promoted THE WHOLE KKT MATRIX to f64 —
+            # every r02-r04 "f32" factor number actually measured the
+            # emulated-f64 op set (1599 ms vs the true f32 46 ms;
+            # scripts/tpu_chol_novel.py, r05)
+            S = F @ F.T + jnp.eye(n, dtype=jnp.float32) \
+                + (Gt * d) @ Gt.T
         return S
 
     from cvxopt_tpu.ops.blockinv import (blocked_cholesky,

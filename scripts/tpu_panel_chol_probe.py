@@ -97,3 +97,64 @@ else:
             float(np.asarray(f(r + 1, S)))
         print(f"panel_cholesky(panel={t}): "
               f"{(time.time()-t0)/2*1e3:.0f} ms", flush=True)
+
+if which == "cholscan":
+    for t in (512, 1024, 2048, 2560, 5120):
+        def chol_t(x, Sm, t=t):
+            L = jnp.linalg.cholesky(Sm[:t, :t] * (1.0 + 1e-12 * x))
+            return x + L[0, 0] * 1e-12
+        chain(chol_t, f"chol({t})", K=4)
+
+if which == "real":
+    from cvxopt_tpu.ops.blockinv import blocked_cholesky
+    for tag, fn in (
+        ("panel512", lambda Sp: panel_cholesky(Sp, panel=512)),
+        ("panel1024", lambda Sp: panel_cholesky(Sp, panel=1024)),
+        ("panel2048", lambda Sp: panel_cholesky(Sp, panel=2048)),
+        ("xla", jnp.linalg.cholesky),
+        ("blocked2560", lambda Sp: blocked_cholesky(Sp, block=2560)),
+    ):
+        @jax.jit
+        def f(seed, Sm, fn=fn):
+            Sp = Sm.at[0, 0].add(1e-6 * seed)
+            return jnp.sum(fn(Sp))          # full-output dependence
+        float(np.asarray(f(0, S)))
+        t0 = time.time()
+        for r in range(3):
+            float(np.asarray(f(r + 1, S)))
+        print(f"{tag}: {(time.time()-t0)/3*1e3:.0f} ms", flush=True)
+
+if which == "benchmat":
+    # the EXACT bench_large_kkt matrix: is the 1603-vs-52 ms gap
+    # matrix-dependent?
+    @jax.jit
+    def genb(seed):
+        key = jax.random.PRNGKey(seed)
+        kF, kG = jax.random.split(key)
+        F = jax.random.normal(kF, (n, 256), jnp.float32)
+        Gt = jax.random.normal(kG, (n, n), jnp.float32) / np.float32(
+            np.sqrt(n))
+        d = jax.random.uniform(key, (n,), jnp.float32, 0.5, 2.0)
+        with jax.default_matmul_precision("high"):
+            return F @ F.T + jnp.eye(n, dtype=jnp.float32) \
+                + (Gt * d) @ Gt.T
+
+    Sb = genb(0)
+    jax.block_until_ready(Sb)
+    from cvxopt_tpu.ops.blockinv import blocked_cholesky
+    for tag, fn in (
+        ("xla(benchS)", jnp.linalg.cholesky),
+        ("panel1024(benchS)",
+         lambda Sp: panel_cholesky(Sp, panel=1024)),
+        ("blocked2560(benchS)",
+         lambda Sp: blocked_cholesky(Sp, block=2560)),
+    ):
+        @jax.jit
+        def f(seed, Sm, fn=fn):
+            Sp = Sm.at[0, 0].add(1e-6 * seed)
+            return jnp.sum(fn(Sp))
+        float(np.asarray(f(0, Sb)))
+        t0 = time.time()
+        for r in range(3):
+            float(np.asarray(f(r + 1, Sb)))
+        print(f"{tag}: {(time.time()-t0)/3*1e3:.0f} ms", flush=True)
