@@ -60,7 +60,7 @@ elif stage == "lp":
     # the exact bench_sparse problem through lp_sparse(method='blocked')
     import scipy.sparse as sp
     from cvxopt_tpu.ops.sparse_kkt import lp_sparse
-    n = 100_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     rng = np.random.default_rng(0)
     c = rng.standard_normal(n) * 0.1
     rows, cols, vals, h = [], [], [], []
