@@ -82,6 +82,28 @@ def _round_robin_table(m: int):
     return (np.asarray(ps, np.int32), np.asarray(qs, np.int32), me)
 
 
+@functools.lru_cache(maxsize=32)
+def _partner_tables(m: int):
+    """Scatter-free rotation-round tables: every index of range(me) is
+    in EXACTLY ONE pair per round, so a round's column update is a
+    full REBUILD  newA[:, j] = c[j]*A[:, j] + sgn[j]*s[j]*A[:, partner[j]]
+    — one gather + two muls + one add, no scatters (r05; scatters
+    copy the whole array on this backend).  Returns (p, q, partner,
+    sign, pair_idx, me): partner/sign/pair_idx shaped (me-1, me)."""
+    ps, qs, me = _round_robin_table(m)
+    nr = ps.shape[0]
+    partner = np.zeros((nr, me), np.int32)
+    sign = np.zeros((nr, me), np.float32)
+    pidx = np.zeros((nr, me), np.int32)
+    for r in range(nr):
+        for k in range(me // 2):
+            p, q = ps[r, k], qs[r, k]
+            partner[r, p], partner[r, q] = q, p
+            sign[r, p], sign[r, q] = -1.0, 1.0
+            pidx[r, p] = pidx[r, q] = k
+    return ps, qs, partner, sign, pidx, me
+
+
 def _pad_even(A, me):
     """Pad (..., m, m) to (..., me, me) with a decoupled unit
     diagonal."""
@@ -123,37 +145,36 @@ def eigh_jacobi(A, sweeps: int = 12):
     m = A.shape[-1]
     batch = A.shape[:-2]
     dtype = A.dtype
-    prs, qrs, me = _round_robin_table(m)
+    prs, qrs, partner, sign, pidx, me = _partner_tables(m)
     A = _pad_even(A, me)
     eye = jnp.eye(me, dtype=dtype)
 
-    def one_round(AV, pq):
-        # The round's me/2 rotations are DISJOINT, so J'AJ reduces to
-        # elementwise column then row combinations — O(m^2) per round
-        # instead of the O(m^3) full-J matmuls (r05: the matmul form
-        # cost 379 ms per (2,200,200) eigh_accurate on the emulated-
-        # f64 TPU backend; emulated-f64 dot_general is the platform
-        # pathology, ops/matvec.py)
+    def one_round(AV, tables):
+        # The round's me/2 rotations are DISJOINT and cover every
+        # index once, so J'AJ is a full scatter-free REBUILD:
+        #   cols:  A <- cs*A + ss*A[:, partner]
+        #   rows:  A <- cs'*A + ss'*A[partner, :]
+        # (r05: the original full-J matmul form cost 379 ms per
+        # (2,200,200) eigh_accurate on the emulated-f64 TPU backend;
+        # the first elementwise rewrite still paid 6 whole-array
+        # scatters per round)
         A, V = AV
-        p, q = pq
+        p, q, prt, sgn, pix = tables
         app = A[..., p, p]
         aqq = A[..., q, q]
         apq = A[..., p, q]
         c, s = _rotation(app, aqq, apq, dtype)
-        cc, sc = c[..., None, :], s[..., None, :]
-        Ap, Aq = A[..., :, p], A[..., :, q]
-        A = A.at[..., :, p].set(cc * Ap - sc * Aq)
-        A = A.at[..., :, q].set(sc * Ap + cc * Aq)
-        cr, sr = c[..., :, None], s[..., :, None]
-        Ap, Aq = A[..., p, :], A[..., q, :]
-        A = A.at[..., p, :].set(cr * Ap - sr * Aq)
-        A = A.at[..., q, :].set(sr * Ap + cr * Aq)
-        Vp, Vq = V[..., :, p], V[..., :, q]
-        V = V.at[..., :, p].set(cc * Vp - sc * Vq)
-        V = V.at[..., :, q].set(sc * Vp + cc * Vq)
+        cs = c[..., pix]                       # per-column c
+        ss = s[..., pix] * sgn.astype(dtype)   # per-column signed s
+        ccol, scol = cs[..., None, :], ss[..., None, :]
+        A = ccol * A + scol * A[..., :, prt]
+        crow, srow = cs[..., :, None], ss[..., :, None]
+        A = crow * A + srow * A[..., prt, :]
+        V = ccol * V + scol * V[..., :, prt]
         return (A, V), 0
 
-    xs = (jnp.asarray(prs), jnp.asarray(qrs))
+    xs = (jnp.asarray(prs), jnp.asarray(qrs), jnp.asarray(partner),
+          jnp.asarray(sign), jnp.asarray(pidx))
 
     def sweep(_, AV):
         (A, V), _ = lax.scan(one_round, AV, xs)
@@ -223,7 +244,7 @@ def gram_eigh_accurate(M, sweeps: int = 6, force: bool = False):
     G0 = 0.5 * (G0 + jnp.swapaxes(G0, -1, -2))
     _, V0 = _seed_eigh(G0)
     batch = jnp.broadcast_shapes(M.shape[:-2], V0.shape[:-2])
-    prs, qrs, me = _round_robin_table(mc)
+    prs, qrs, partner, sign, pidx, me = _partner_tables(mc)
     # pad B with zero columns / V with decoupled unit diagonal
     if me != mc:
         B = jnp.pad(M @ V0, [(0, 0)] * (M.ndim - 1) + [(0, me - mc)])
@@ -231,27 +252,26 @@ def gram_eigh_accurate(M, sweeps: int = 6, force: bool = False):
         B = M @ V0
     Vp = _pad_even(jnp.broadcast_to(V0, batch + (mc, mc)), me)
 
-    def one_round(BV, pq):
-        # disjoint rotations -> elementwise column pair combinations
-        # (see eigh_jacobi.one_round: the full-J matmul form is the
-        # emulated-f64 TPU pathology)
+    def one_round(BV, tables):
+        # disjoint rotations covering every column once -> full
+        # scatter-free rebuild (see eigh_jacobi.one_round)
         B, V = BV
-        p, q = pq
+        p, q, prt, sgn, pix = tables
         Bp = B[..., :, p]
         Bq = B[..., :, q]
         app = jnp.sum(Bp * Bp, axis=-2)
         aqq = jnp.sum(Bq * Bq, axis=-2)
         apq = jnp.sum(Bp * Bq, axis=-2)
         c, s = _rotation(app, aqq, apq, M.dtype)
-        cc, sc = c[..., None, :], s[..., None, :]
-        B = B.at[..., :, p].set(cc * Bp - sc * Bq)
-        B = B.at[..., :, q].set(sc * Bp + cc * Bq)
-        Vp, Vq = V[..., :, p], V[..., :, q]
-        V = V.at[..., :, p].set(cc * Vp - sc * Vq)
-        V = V.at[..., :, q].set(sc * Vp + cc * Vq)
+        cs = c[..., pix]
+        ss = s[..., pix] * sgn.astype(M.dtype)
+        ccol, scol = cs[..., None, :], ss[..., None, :]
+        B = ccol * B + scol * B[..., :, prt]
+        V = ccol * V + scol * V[..., :, prt]
         return (B, V), 0
 
-    xs = (jnp.asarray(prs), jnp.asarray(qrs))
+    xs = (jnp.asarray(prs), jnp.asarray(qrs), jnp.asarray(partner),
+          jnp.asarray(sign), jnp.asarray(pidx))
 
     def sweep(_, BV):
         BV, _ = lax.scan(one_round, BV, xs)
