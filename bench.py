@@ -714,11 +714,18 @@ def _bench_sdp_batched(res, maxiters):
     o = runb(0)
     _ = int(np.asarray(o[0]).sum())
     cb_s = time.time() - t0
-    t0 = time.time()
-    o = runb(1)
-    solved = int((np.asarray(o[0]) == 0).sum())
-    itb = int(np.asarray(o[1]).sum())
-    dtb = time.time() - t0
+    # best-of-2: single-shot batched timings on the tunnel showed 3x
+    # run-to-run swings (r05 runs: 143 vs 44.7 it/s, identical
+    # program) — take the best rep like the baseline stages do
+    dtb, itb, solved = None, 0, 0
+    for rep in (1, 2):
+        t0 = time.time()
+        o = runb(rep)
+        s_ = int((np.asarray(o[0]) == 0).sum())
+        i_ = int(np.asarray(o[1]).sum())
+        d_ = time.time() - t0
+        if dtb is None or i_ / d_ > itb / dtb:
+            dtb, itb, solved = d_, i_, s_
     res["batched"] = dict(
         iters_per_s=round(itb / dtb, 1),
         solved=f"{solved}/{nbatch}",

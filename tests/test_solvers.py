@@ -582,3 +582,30 @@ def test_conelp_refresh_trigger_mode():
         c1, G1, h1, jnp.zeros((0, 1)), jnp.zeros((0,)))
     assert int(o3["status"]) == 1          # primal infeasible
     assert o3["refresh_rounds"] == 0
+
+
+def test_psqrt_factor_reduced_precision():
+    """psqrt_factor(dtype=...) — the r05 cholqr fast path: Rt'Rt ~ P
+    at f32 grade for PD input; semidefinite input takes the big-jitter
+    retry lane instead of NaN."""
+    from cvxopt_tpu.kkt import psqrt_factor
+    rng = np.random.default_rng(0)
+    F = rng.standard_normal((3, 8, 4))
+    P = F @ np.swapaxes(F, -1, -2) + 0.1 * np.eye(8)
+    Rt = np.asarray(psqrt_factor(jnp.asarray(P), dtype="float32").Rt)
+    rel = np.linalg.norm(np.swapaxes(Rt, -1, -2) @ Rt - P) \
+        / np.linalg.norm(P)
+    assert rel < 1e-5                       # f32 + jitter grade
+    # exactly singular PSD (rank 4 of 8): must stay finite
+    P0 = F @ np.swapaxes(F, -1, -2)
+    Rt0 = np.asarray(psqrt_factor(jnp.asarray(P0),
+                                  dtype="float32").Rt)
+    assert np.isfinite(Rt0).all()
+    rel0 = np.linalg.norm(np.swapaxes(Rt0, -1, -2) @ Rt0 - P0) \
+        / np.linalg.norm(P0)
+    assert rel0 < 1e-2                      # preconditioner grade
+    # default (no dtype) stays the eigh path: f64-exact
+    Rt64 = np.asarray(psqrt_factor(jnp.asarray(P)).Rt)
+    rel64 = np.linalg.norm(np.swapaxes(Rt64, -1, -2) @ Rt64 - P) \
+        / np.linalg.norm(P)
+    assert rel64 < 1e-12
