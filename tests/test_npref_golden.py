@@ -87,3 +87,81 @@ def test_coneqp_cones_matches_npref_sdp():
                                float(np.sum(ref["x"])), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(sol["x"]), ref["x"],
                                atol=2e-3)
+
+
+def test_fuzz_random_cone_mixes_vs_golden():
+    """r05 randomized armor: random (l, q, s) cone mixes through the
+    jitted coneqp core vs the numpy golden reference at 1e-7.
+    Guards the round's scaling/eigh/kkt rewrites across arbitrary
+    cone combinations, not just the benchmark shapes."""
+    import jax.numpy as jnp
+    from cvxopt_tpu._npref import coneqp_np_cones
+    from cvxopt_tpu.coneqp import make_coneqp
+    from cvxopt_tpu.cones import ConeDims
+
+    rng = np.random.default_rng(20260821)
+    configs = [
+        dict(l=3, q=(3, 4), s=()),
+        dict(l=0, q=(5,), s=(3,)),
+        dict(l=4, q=(), s=(2, 3)),
+        dict(l=2, q=(3, 3, 3), s=(2,)),
+    ]
+    compared = []
+    for ci, cfg in enumerate(configs):
+        dims = ConeDims(**cfg)
+        m = dims.cdim
+        n = 6
+        for trial in range(2):
+            F = rng.standard_normal((n, n)) / np.sqrt(n)
+            P = F @ F.T + 0.5 * np.eye(n)
+            qv = 0.3 * rng.standard_normal(n)
+            G = 0.4 * rng.standard_normal((m, n))
+            # the 's'-block rows of G must be (vectorized) SYMMETRIC
+            # matrices — symmetrize each column's s-blocks
+            soff = cfg["l"] + sum(cfg["q"])
+            for ms in cfg["s"]:
+                blk = G[soff:soff + ms * ms, :].reshape(ms, ms, n)
+                G[soff:soff + ms * ms, :] = (
+                    0.5 * (blk + blk.transpose(1, 0, 2))
+                ).reshape(ms * ms, n)
+                soff += ms * ms
+            # strictly feasible h: h = G x0 + s0 with s0 interior
+            x0 = 0.1 * rng.standard_normal(n)
+            s0 = np.zeros(m)
+            off = 0
+            for _ in range(cfg["l"]):
+                s0[off] = 1.0 + rng.uniform(0, 0.5)
+                off += 1
+            for mq in cfg["q"]:
+                s0[off] = 2.0
+                s0[off + 1:off + mq] = 0.2 * rng.standard_normal(
+                    mq - 1)
+                off += mq
+            for ms in cfg["s"]:
+                E = 0.2 * rng.standard_normal((ms, ms))
+                S0 = E @ E.T + np.eye(ms)
+                s0[off:off + ms * ms] = S0.reshape(-1)
+                off += ms * ms
+            h = G @ x0 + s0
+            dref = {"l": cfg["l"], "q": list(cfg["q"]),
+                    "s": list(cfg["s"])}
+            ref = coneqp_np_cones(P, qv, G, h, dref, abstol=1e-7,
+                                  reltol=1e-7, feastol=1e-7)
+            if ref["status"] != "optimal":
+                # a hard random instance the golden itself cannot
+                # certify — nothing to compare against
+                continue
+            compared.append((ci, trial))
+            core = make_coneqp(dims, maxiters=60, abstol=1e-7,
+                               reltol=1e-7, feastol=1e-7)
+            out = core(jnp.asarray(P), jnp.asarray(qv),
+                       jnp.asarray(G), jnp.asarray(h),
+                       jnp.zeros((0, n)), jnp.zeros((0,)))
+            assert int(out["status"]) == 0, (ci, trial)
+            np.testing.assert_allclose(
+                np.asarray(out["x"]), np.asarray(ref["x"]),
+                atol=2e-5, err_msg=f"cfg {ci} trial {trial}")
+            xr = np.asarray(ref["x"])
+            pref = 0.5 * xr @ P @ xr + qv @ xr
+            assert abs(float(out["pcost"]) - pref) < 1e-6
+    assert len(compared) >= 5, compared
