@@ -426,13 +426,18 @@ def bench_socp(nb=1024, n=64, nq=100, mq=4, maxiters=50, chunks=2,
     jax.block_until_ready(o)
     compile_s = time.time() - t0
     ti, solved, rescue = 0, 0, 0
+    chunk_s = []
     t0 = time.time()
     for r in range(chunks):
+        tc = time.time()
         o = run(r + 1)
         # fetch values per chunk: the remote backend needs a real sync
         solved += int((np.asarray(o[0]) == 0).sum())
         ti += int(np.asarray(o[1]).sum())
         rescue += int(np.asarray(o[5]))
+        # per-chunk wall: diagnoses tunnel-variance / rescue-compile
+        # outliers (r05: one run halved on identical work)
+        chunk_s.append(round(time.time() - tc, 2))
     dt = time.time() - t0
     res = dict(iters_per_s=round(ti / dt, 1),
                solved=f"{solved}/{nb * chunks}",
@@ -441,7 +446,7 @@ def bench_socp(nb=1024, n=64, nq=100, mq=4, maxiters=50, chunks=2,
                scenarios=nb * chunks,
                max_gap=float(o[2]), max_pres=float(o[3]),
                max_dres=float(o[4]), max_relgap=float(o[6]),
-               rescue_iters=rescue,
+               rescue_iters=rescue, chunk_s=chunk_s,
                compile_s=round(compile_s, 1))
     if baseline_iters_per_s:
         res["baseline_iters_per_s"] = round(baseline_iters_per_s, 1)
